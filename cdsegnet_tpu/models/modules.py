@@ -1,0 +1,137 @@
+"""Flax building blocks: masked norm layers, MLP, DropPath, SubMConv module.
+
+Norm semantics follow the reference: BatchNorm1d(eps=1e-3, momentum=0.01)
+after embeddings/poolings/unpoolings and LayerNorm inside transformer blocks
+(`point_transformer_v3m1_base.py:1434-1445`). Both are masked so padding
+slots never contaminate statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cdsegnet_tpu.ops.subm_conv import subm_conv_apply
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid points only, with running statistics.
+
+    Matches torch ``BatchNorm1d(eps=1e-3, momentum=0.01)`` semantics:
+    ``running = (1 - momentum) * running + momentum * batch_stat``.
+    """
+
+    features: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool = False):
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            m = mask.astype(jnp.float32)[:, None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf * m, axis=0) / cnt
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                # torch tracks the unbiased batch variance in running stats
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    """Transformer FFN (reference `MLP`, fc1 -> GELU -> fc2)."""
+
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool,
+) -> jnp.ndarray:
+    """Per-point stochastic depth (timm-style, batch dim = points)."""
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class SubMConv(nn.Module):
+    """Parameterized submanifold conv over a precomputed neighbor table."""
+
+    in_channels: int
+    out_channels: int
+    kernel_volume: int  # 27 for k3, 125 for k5
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, neighbor_idx):
+        fan_in = self.in_channels * self.kernel_volume
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.kernel_volume, self.in_channels, self.out_channels),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        del fan_in
+        return subm_conv_apply(feat.astype(self.dtype), neighbor_idx, weight, bias)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)

@@ -1,0 +1,192 @@
+"""Shared geometry pyramid: serialization + pooling structure per level.
+
+In the reference, each branch re-serializes its point cloud and
+`SerializedPooling` recomputes `torch.unique` clusters per branch per level
+(`point_transformer_v3m1_base.py:464-555`). But the two CDSegNet branches run
+on the *same* input points, and the c-branch strides (4, 4) visit exactly the
+coarse grids of n-branch levels 2 and 4 — so all geometric structure
+(codes, sort orders, neighbor tables, cluster membership) can be computed
+once and shared. This halves serialization work and makes the bottleneck
+TransferModule cross-attention operate on *spatially aligned* patches (the
+reference pairs patches from independently shuffled curves).
+
+Levels have static capacities (multiples of the attention patch size), with
+the conventions:
+
+- padding/empty slots carry sentinel batch id = ``num_scenes`` and
+  ``mask=False``; they sort to the tail of every order;
+- the last slot of each level additionally absorbs cluster overflow, and is
+  always invalid;
+- ``pool_*`` arrays describe how to reduce parent features into this level
+  (`pool_features`), and ``parent_inverse`` how to broadcast level features
+  back to the parent (`unpool_features`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from cdsegnet_tpu.models.structure import PointBatch, build_neighbor_table, serialize
+from cdsegnet_tpu.ops import segments as seg_ops
+
+
+@flax.struct.dataclass
+class Level:
+    """Geometry of one resolution level (static size M)."""
+
+    point: PointBatch  # feat field unused (zeros); geometry + codes/orders
+    # pooling maps from the parent level (None at level 0):
+    pool_sort: Optional[jnp.ndarray] = None  # (Mp,) parent indices, key-sorted
+    pool_seg: Optional[jnp.ndarray] = None  # (Mp,) segment id per sorted pos
+    pool_valid: Optional[jnp.ndarray] = None  # (Mp,) contribution validity
+    parent_inverse: Optional[jnp.ndarray] = None  # (Mp,) parent -> slot
+    parent_head: Optional[jnp.ndarray] = None  # (M,) head parent index
+
+    @property
+    def size(self) -> int:
+        return self.point.num_points
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_level0(
+    point: PointBatch,
+    orders: Tuple[str, ...],
+    shuffle_key: Optional[jax.Array],
+    cpe_kernel: int = 3,
+) -> Level:
+    pt = serialize(point, orders=orders, shuffle_key=shuffle_key)
+    nbr = build_neighbor_table(
+        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=cpe_kernel
+    )
+    return Level(point=pt.replace(neighbor_idx=nbr))
+
+
+def build_pooled_level(
+    parent: Level,
+    stride: int,
+    capacity: int,
+    orders: Tuple[str, ...],
+    shuffle_key: Optional[jax.Array],
+    cpe_kernel: int = 3,
+) -> Level:
+    """Derive the coarse level geometry from ``parent`` (no features touched).
+
+    Mirrors `SerializedPooling.forward` (reference
+    `point_transformer_v3m1_base.py:464-555`): cluster by the serialization
+    code right-shifted 3*log2(stride) bits, take head grid coords, mean
+    coords, re-serialize at reduced depth.
+    """
+    pd = (stride - 1).bit_length()  # log2(stride); 2 -> 1, 4 -> 2
+    pp = parent.point
+    mp = pp.num_points
+    m = capacity
+
+    # Cluster keys from the first (possibly shuffled) order of the parent.
+    sort0 = pp.orders[0]
+    keys_sorted = (pp.codes[0] >> (3 * pd))[sort0]
+    seg = seg_ops.sorted_segment_ids(keys_sorted)  # ascending per sorted pos
+    seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
+    mask_sorted = pp.mask[sort0]
+    valid = mask_sorted & (seg < m - 1)
+
+    first_pos = seg_ops.segment_first_position(seg_c, m)
+    head_parent = jnp.take(sort0, first_pos)  # (M,) parent index of head
+    new_mask = seg_ops.segment_any(valid, seg_c, m)
+
+    grid = jnp.where(
+        new_mask[:, None], jnp.take(pp.grid_coord, head_parent, axis=0) >> pd, 0
+    )
+    batch = jnp.where(
+        new_mask, jnp.take(pp.batch, head_parent), jnp.int32(pp.num_scenes)
+    )
+    coord = seg_ops.segment_reduce(
+        pp.coord[sort0], seg_c, m, reduce="mean", valid=valid
+    )
+
+    parent_inverse = (
+        jnp.zeros((mp,), jnp.int32).at[sort0].set(seg_c)
+    )
+
+    child = PointBatch(
+        coord=coord,
+        grid_coord=grid,
+        feat=jnp.zeros((m, 1), jnp.float32),
+        mask=new_mask,
+        batch=batch,
+        segment=None,
+        depth=pp.depth - pd,
+        num_scenes=pp.num_scenes,
+    )
+    child = serialize(child, orders=orders, shuffle_key=shuffle_key)
+    nbr = build_neighbor_table(
+        child.grid_coord, child.batch, child.mask, depth=child.depth,
+        kernel_size=cpe_kernel,
+    )
+    child = child.replace(neighbor_idx=nbr)
+    return Level(
+        point=child,
+        pool_sort=sort0,
+        pool_seg=seg_c,
+        pool_valid=valid,
+        parent_inverse=parent_inverse,
+        parent_head=head_parent,
+    )
+
+
+def build_pyramid(
+    point: PointBatch,
+    strides: Sequence[int],
+    capacities: Sequence[int],
+    orders: Tuple[str, ...],
+    shuffle_key: Optional[jax.Array],
+    stem_kernel: int = 5,
+) -> Tuple[Sequence[Level], jnp.ndarray]:
+    """Full geometry pyramid + the k5 stem neighbor table for level 0."""
+    keys = (
+        list(jax.random.split(shuffle_key, len(strides) + 1))
+        if shuffle_key is not None
+        else [None] * (len(strides) + 1)
+    )
+    lvl0 = build_level0(point, orders, keys[0])
+    stem_nbr = build_neighbor_table(
+        point.grid_coord, point.batch, point.mask, depth=point.depth,
+        kernel_size=stem_kernel,
+    )
+    levels = [lvl0]
+    for i, (s, cap) in enumerate(zip(strides, capacities)):
+        levels.append(
+            build_pooled_level(levels[-1], s, cap, orders, keys[i + 1])
+        )
+    return levels, stem_nbr
+
+
+def pool_features(
+    feat: jnp.ndarray, level: Level, reduce: str = "max"
+) -> jnp.ndarray:
+    """Reduce parent features (Mp, C) into this level's slots (M, C)."""
+    fs = jnp.take(feat, level.pool_sort, axis=0)
+    return seg_ops.segment_reduce(
+        fs, level.pool_seg, level.size, reduce=reduce, valid=level.pool_valid
+    )
+
+
+def pool_head_gather(x: jnp.ndarray, level: Level) -> jnp.ndarray:
+    """Gather a parent per-point array at each cluster's head (e.g. t_emb)."""
+    out = jnp.take(x, level.parent_head, axis=0)
+    return jnp.where(level.point.mask[:, None], out, 0.0).astype(x.dtype)
+
+
+def unpool_features(feat: jnp.ndarray, level: Level) -> jnp.ndarray:
+    """Broadcast level features (M, C) back to parent points (Mp, C).
+
+    The overflow/trash slot is zeroed so dropped points receive no signal.
+    """
+    safe = jnp.where(level.point.mask[:, None], feat, 0.0).astype(feat.dtype)
+    return jnp.take(safe, level.parent_inverse, axis=0)

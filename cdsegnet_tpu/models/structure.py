@@ -1,0 +1,206 @@
+"""Static-shape batched point-cloud structure (TPU-native `Point`).
+
+The reference keeps ragged per-scene point clouds concatenated with an
+`offset` vector and re-derives padding/inverse maps per attention layer with a
+Python loop over scenes (`point_transformer_v3m1_base.py:189-244`,
+`structure.py:14-181`). On TPU everything must be static-shaped, so we invert
+the design:
+
+- A batch is a flat array of ``num_points`` slots (a static bucket size).
+  Real points occupy a prefix of each scene's slots; unused slots are marked
+  ``mask=False`` and carry a sentinel batch id (``num_scenes``), which makes
+  them sort to the global end of every serialization order.
+- Serialization codes put the (sentinel-aware) batch id in the high bits, so
+  sorting groups scenes contiguously; attention layers then simply reshape the
+  sorted arrays into ``(num_patches, patch_size)`` windows and mask keys by
+  batch equality + validity. No per-scene pad/unpad indexing exists anywhere.
+- Submanifold-conv neighbor tables (the TPU equivalent of spconv hash tables,
+  reference `structure.py:104-140`) are built once per resolution level from
+  the z-order codes by binary search, and reused by every block of the level.
+
+All arrays live on device; every op here is jit-compatible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from cdsegnet_tpu.ops import serialization as ser
+
+
+@flax.struct.dataclass
+class PointBatch:
+    """A batch of point clouds with static shapes.
+
+    Attributes:
+      coord: (N, 3) float32 world coordinates (zeros at padding).
+      grid_coord: (N, 3) int32 voxel coordinates (zeros at padding).
+      feat: (N, C) float features.
+      mask: (N,) bool — True for real points.
+      batch: (N, ) int32 scene index per point; padding slots hold
+        ``num_scenes`` (the sentinel).
+      segment: optional (N,) int32 labels, -1 = ignore (and at padding).
+      codes: (O, N) int64 serialization codes (one row per curve order).
+      orders: (O, N) int32 argsort of codes (sorted positions -> point index).
+      inverses: (O, N) int32 inverse permutations (point index -> sorted pos).
+      depth: static serialization depth (bits per axis).
+      num_scenes: static max number of scenes in the batch (sentinel value).
+      t_emb: optional (N, T) diffusion timestep embedding carried through the
+        noise-network branch (reference `Block.forward`
+        `point_transformer_v3m1_base.py:406-411`).
+      neighbor_idx: optional (N, K) int32 submanifold-conv neighbor table for
+        this level; value N marks a missing neighbor.
+    """
+
+    coord: jnp.ndarray
+    grid_coord: jnp.ndarray
+    feat: jnp.ndarray
+    mask: jnp.ndarray
+    batch: jnp.ndarray
+    segment: Optional[jnp.ndarray] = None
+    codes: Optional[jnp.ndarray] = None
+    orders: Optional[jnp.ndarray] = None
+    inverses: Optional[jnp.ndarray] = None
+    t_emb: Optional[jnp.ndarray] = None
+    neighbor_idx: Optional[jnp.ndarray] = None
+    depth: int = flax.struct.field(pytree_node=False, default=16)
+    num_scenes: int = flax.struct.field(pytree_node=False, default=1)
+
+    @property
+    def num_points(self) -> int:
+        return self.coord.shape[0]
+
+    @property
+    def batch_eff(self) -> jnp.ndarray:
+        """Batch id with the sentinel already applied at padding slots."""
+        return self.batch
+
+    def valid_count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask)
+
+
+def make_point_batch(
+    coord: jnp.ndarray,
+    feat: jnp.ndarray,
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    mask: jnp.ndarray,
+    segment: Optional[jnp.ndarray] = None,
+    depth: int = 16,
+    num_scenes: int = 1,
+) -> PointBatch:
+    """Normalize dtypes and apply the padding sentinel convention."""
+    mask = mask.astype(bool)
+    batch = jnp.where(mask, batch.astype(jnp.int32), jnp.int32(num_scenes))
+    return PointBatch(
+        coord=jnp.where(mask[:, None], coord.astype(jnp.float32), 0.0),
+        grid_coord=jnp.where(mask[:, None], grid_coord.astype(jnp.int32), 0),
+        feat=jnp.where(mask[:, None], feat, 0.0).astype(feat.dtype),
+        mask=mask,
+        batch=batch,
+        segment=None
+        if segment is None
+        else jnp.where(mask, segment.astype(jnp.int32), -1),
+        depth=depth,
+        num_scenes=num_scenes,
+    )
+
+
+def serialize(
+    point: PointBatch,
+    orders: Tuple[str, ...] = ("z", "z-trans", "hilbert", "hilbert-trans"),
+    shuffle_key: Optional[jax.Array] = None,
+) -> PointBatch:
+    """Compute per-order codes / sort orders / inverses.
+
+    Mirrors `Point.serialization` (reference `structure.py:47-102`) with the
+    padding-sentinel convention: pads carry batch id ``num_scenes`` so they
+    sort to the global tail of every order. ``shuffle_key`` permutes the order
+    rows like the reference's `shuffle_orders`.
+    """
+    n = point.num_points
+    codes = jnp.stack(
+        [
+            ser.encode(point.grid_coord, point.batch, depth=point.depth, order=o)
+            for o in orders
+        ]
+    )
+    if shuffle_key is not None:
+        perm = jax.random.permutation(shuffle_key, len(orders))
+        codes = codes[perm]
+    order = jnp.argsort(codes, axis=1, stable=True).astype(jnp.int32)
+    arange = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
+    inverse = jnp.zeros_like(order)
+    inverse = jax.vmap(lambda o, a: jnp.zeros((n,), jnp.int32).at[o].set(a))(
+        order, arange
+    )
+    return point.replace(codes=codes, orders=order, inverses=inverse)
+
+
+# ---------------------------------------------------------------------------
+# Submanifold-conv neighbor tables (TPU equivalent of spconv hash maps).
+# ---------------------------------------------------------------------------
+
+
+def kernel_offsets(kernel_size: int) -> jnp.ndarray:
+    """All integer offsets of a cubic kernel, e.g. 27 for k=3, 125 for k=5."""
+    r = kernel_size // 2
+    ax = jnp.arange(-r, r + 1)
+    ox, oy, oz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1)  # (K, 3)
+
+
+@partial(jax.jit, static_argnames=("depth", "kernel_size"))
+def build_neighbor_table(
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    mask: jnp.ndarray,
+    depth: int,
+    kernel_size: int = 3,
+) -> jnp.ndarray:
+    """For each point, the index of the point at ``grid_coord + offset`` for
+    every kernel offset, or ``N`` when the voxel is unoccupied.
+
+    This replaces spconv's GPU hash-table build (`indice_key` reuse,
+    reference `point_transformer_v3m1_base.py:355-365,646-655`) with an
+    XLA-friendly sorted-code binary search: keys are z-order codes with the
+    batch id in the high bits, queries are the offset voxels' codes.
+    """
+    n = grid_coord.shape[0]
+    offs = kernel_offsets(kernel_size)  # (K, 3)
+    k = offs.shape[0]
+    keys = ser.encode(grid_coord, batch, depth=depth, order="z")  # (N,)
+    # Padding slots share one sentinel key; make them unique & unmatchable so a
+    # pad voxel never aliases a real query.
+    keys = jnp.where(mask, keys, jnp.int64(jnp.iinfo(jnp.int64).max))
+    sort_idx = jnp.argsort(keys)
+    sorted_keys = keys[sort_idx]
+
+    q_coord = grid_coord[:, None, :] + offs[None, :, :]  # (N, K, 3)
+    in_range = jnp.all((q_coord >= 0) & (q_coord < (1 << depth)), axis=-1)
+    q_keys = ser.encode(
+        q_coord.reshape(-1, 3),
+        jnp.repeat(batch, k),
+        depth=depth,
+        order="z",
+    ).reshape(n, k)
+    pos = jnp.searchsorted(sorted_keys, q_keys)
+    pos = jnp.clip(pos, 0, n - 1)
+    found = (jnp.take(sorted_keys, pos) == q_keys) & in_range & mask[:, None]
+    neighbor = jnp.where(found, jnp.take(sort_idx, pos), n)
+    return neighbor.astype(jnp.int32)
+
+
+def gather_sorted(x: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of ``x`` into serialized order."""
+    return jnp.take(x, order, axis=0)
+
+
+def scatter_unsorted(x_sorted: jnp.ndarray, inverse: jnp.ndarray) -> jnp.ndarray:
+    """Undo :func:`gather_sorted` given the inverse permutation."""
+    return jnp.take(x_sorted, inverse, axis=0)

@@ -1,0 +1,55 @@
+"""Submanifold sparse convolution as gather + MXU matmul.
+
+TPU-native replacement for `spconv.SubMConv3d` (the reference's xCPE layers
+and embedding stem, `point_transformer_v3m1_base.py:355-365,646-655`).
+Outputs exist only at input sites (submanifold semantics). The neighbor table
+comes from :func:`cdsegnet_tpu.models.structure.build_neighbor_table` and is
+shared by all blocks at the same resolution level (the analogue of spconv's
+``indice_key`` reuse).
+
+The weight layout is ``(K, C_in, C_out)`` where K enumerates kernel offsets
+in the same order as `kernel_offsets`; missing neighbors contribute zero
+(implemented by a zero guard row appended to the features).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def subm_conv_apply(
+    feat: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    accum_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Apply a submanifold conv.
+
+    Args:
+      feat: (N, C_in) features.
+      neighbor_idx: (N, K) int32; value N marks missing neighbors.
+      weight: (K, C_in, C_out).
+      bias: optional (C_out,).
+
+    Returns:
+      (N, C_out) in ``feat.dtype``.
+    """
+    n, c_in = feat.shape
+    k = neighbor_idx.shape[1]
+    assert weight.shape[0] == k, (weight.shape, k)
+    c_out = weight.shape[2]
+    guard = jnp.concatenate([feat, jnp.zeros((1, c_in), feat.dtype)], axis=0)
+
+    def body(i, acc):
+        g = jnp.take(guard, neighbor_idx[:, i], axis=0)  # (N, C_in)
+        w = jax.lax.dynamic_index_in_dim(weight, i, axis=0, keepdims=False)
+        return acc + jnp.dot(g, w.astype(feat.dtype), preferred_element_type=accum_dtype)
+
+    acc = jnp.zeros((n, c_out), accum_dtype)
+    acc = jax.lax.fori_loop(0, k, body, acc)
+    out = acc.astype(feat.dtype)
+    if bias is not None:
+        out = out + bias.astype(feat.dtype)
+    return out

@@ -1,0 +1,131 @@
+"""PointBatch serialization, neighbor tables, pyramid pooling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.structure import build_neighbor_table, kernel_offsets, serialize
+from helpers import synthetic_batch
+
+ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+
+def test_serialize_orders_and_inverse(rng):
+    pt = synthetic_batch(rng)
+    pt = serialize(pt, orders=ORDERS, shuffle_key=None)
+    codes = np.asarray(pt.codes)
+    orders = np.asarray(pt.orders)
+    inv = np.asarray(pt.inverses)
+    for o in range(4):
+        sorted_codes = codes[o][orders[o]]
+        assert (np.diff(sorted_codes) >= 0).all()
+        # inverse is the inverse permutation
+        np.testing.assert_array_equal(orders[o][inv[o]], np.arange(pt.num_points))
+    # pads sort to the end of every order
+    mask = np.asarray(pt.mask)
+    n_real = mask.sum()
+    for o in range(4):
+        assert not mask[orders[o][n_real:]].any()
+        assert mask[orders[o][:n_real]].all()
+
+
+def test_serialize_shuffle_is_permutation(rng, key):
+    pt = synthetic_batch(rng)
+    a = serialize(pt, orders=ORDERS, shuffle_key=None)
+    b = serialize(pt, orders=ORDERS, shuffle_key=key)
+    ca, cb = np.asarray(a.codes), np.asarray(b.codes)
+    # every row of b.codes equals some row of a.codes
+    for row in cb:
+        assert any(np.array_equal(row, r) for r in ca)
+
+
+def test_neighbor_table_bruteforce(rng):
+    pt = synthetic_batch(rng, counts=(60, 40), num_points=128)
+    nbr = np.asarray(
+        build_neighbor_table(pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=3)
+    )
+    gc = np.asarray(pt.grid_coord)
+    bt = np.asarray(pt.batch)
+    mask = np.asarray(pt.mask)
+    offs = np.asarray(kernel_offsets(3))
+    lut = {}
+    for i in range(pt.num_points):
+        if mask[i]:
+            lut[(bt[i], *gc[i])] = i
+    for i in range(pt.num_points):
+        for k in range(27):
+            q = gc[i] + offs[k]
+            expect = pt.num_points
+            if mask[i] and (q >= 0).all() and (q < (1 << pt.depth)).all():
+                expect = lut.get((bt[i], *q), pt.num_points)
+            assert nbr[i, k] == expect, (i, k)
+
+
+def test_pyramid_pooling_bruteforce(rng, key):
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=320)
+    levels, stem = pyr.build_pyramid(
+        pt, strides=(2, 2), capacities=(256, 256), orders=ORDERS, shuffle_key=None
+    )
+    l1 = levels[1]
+    gc = np.asarray(pt.grid_coord)
+    bt = np.asarray(pt.batch)
+    mask = np.asarray(pt.mask)
+    # brute force clusters: (batch, coarse voxel)
+    clusters = {}
+    for i in range(pt.num_points):
+        if mask[i]:
+            clusters.setdefault((bt[i], *(gc[i] >> 1)), []).append(i)
+    m1 = np.asarray(l1.point.mask)
+    assert m1.sum() == len(clusters)
+    # pooled grid coords are the cluster voxels, batch correct
+    got = set()
+    g1 = np.asarray(l1.point.grid_coord)
+    b1 = np.asarray(l1.point.batch)
+    for j in range(l1.size):
+        if m1[j]:
+            got.add((b1[j], *g1[j]))
+    assert got == set(clusters.keys())
+    # feature max-pool parity
+    feat = np.asarray(pt.feat)
+    pooled = np.asarray(pyr.pool_features(pt.feat, l1, reduce="max"))
+    for j in range(l1.size):
+        if m1[j]:
+            members = clusters[(b1[j], *g1[j])]
+            np.testing.assert_allclose(
+                pooled[j], feat[members].max(axis=0), rtol=1e-6
+            )
+        else:
+            np.testing.assert_array_equal(pooled[j], 0)
+    # parent_inverse maps members to the right slot
+    pinv = np.asarray(l1.parent_inverse)
+    for j in range(l1.size):
+        if m1[j]:
+            for i in clusters[(b1[j], *g1[j])]:
+                assert pinv[i] == j
+    # unpool broadcasts slot features to members
+    up = np.asarray(pyr.unpool_features(pooled, l1))
+    for i in range(pt.num_points):
+        if mask[i]:
+            np.testing.assert_allclose(up[i], pooled[pinv[i]], rtol=1e-6)
+    # level-2 chains correctly: grid coords are level-1 coords >> 1
+    l2 = levels[2]
+    m2 = np.asarray(l2.point.mask)
+    clusters2 = set()
+    for i in range(pt.num_points):
+        if mask[i]:
+            clusters2.add((bt[i], *(gc[i] >> 2)))
+    assert m2.sum() == len(clusters2)
+
+
+def test_pooling_overflow_goes_to_trash(rng):
+    pt = synthetic_batch(rng, counts=(150,), num_points=256)
+    # capacity far too small: overflow clusters must be dropped, not aliased
+    levels, _ = pyr.build_pyramid(
+        pt, strides=(2,), capacities=(16,), orders=ORDERS, shuffle_key=None
+    )
+    l1 = levels[1]
+    m1 = np.asarray(l1.point.mask)
+    assert not m1[-1]  # trash slot always invalid
+    pooled = np.asarray(pyr.pool_features(pt.feat, l1))
+    np.testing.assert_array_equal(pooled[-1], 0)
