@@ -21,6 +21,12 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def _precision(dtype):
+    # f32 inputs get true-f32 matmuls; bf16 inputs use fast MXU passes with
+    # f32 accumulation (via preferred_element_type).
+    return "highest" if dtype == jnp.float32 else None
+
+
 def patch_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -58,14 +64,17 @@ def patch_attention(
 
     acc_t = jnp.float32 if upcast_softmax else q.dtype
     logits = jnp.einsum(
-        "pihd,pjhd->phij", qp, kp, preferred_element_type=acc_t
+        "pihd,pjhd->phij", qp, kp,
+        preferred_element_type=acc_t, precision=_precision(q.dtype),
     ) * jnp.asarray(scale, acc_t)
     if bias is not None:
         logits = logits + bias.astype(acc_t)
     allowed = (bp[:, :, None] == bp[:, None, :]) & mp[:, None, :]
     logits = jnp.where(allowed[:, None, :, :], logits, jnp.asarray(NEG_INF, acc_t))
     probs = jax.nn.softmax(logits, axis=-1).astype(vp.dtype)
-    out = jnp.einsum("phij,pjhd->pihd", probs, vp)
+    out = jnp.einsum(
+        "phij,pjhd->pihd", probs, vp, precision=_precision(vp.dtype)
+    )
     return out.reshape(n, h, d)
 
 
@@ -106,7 +115,8 @@ def cross_patch_attention(
 
     acc_t = jnp.float32 if upcast_softmax else q.dtype
     logits = jnp.einsum(
-        "pihd,pjhd->phij", qp, kp, preferred_element_type=acc_t
+        "pihd,pjhd->phij", qp, kp,
+        preferred_element_type=acc_t, precision=_precision(q.dtype),
     ) * jnp.asarray(scale, acc_t)
     allowed = (qb[:, :, None] == kb[:, None, :]) & kv_ok[:, None, :]
     logits = jnp.where(allowed[:, None, :, :], logits, jnp.asarray(NEG_INF, acc_t))
@@ -115,5 +125,7 @@ def cross_patch_attention(
     # a uniform distribution over masked slots; zero it instead.
     any_ok = jnp.any(allowed, axis=-1)  # (P, Kq)
     probs = jnp.where(any_ok[:, None, :, None], probs, 0.0).astype(vp.dtype)
-    out = jnp.einsum("phij,pjhd->pihd", probs, vp)
+    out = jnp.einsum(
+        "phij,pjhd->pihd", probs, vp, precision=_precision(vp.dtype)
+    )
     return out.reshape(nq, h, d)
