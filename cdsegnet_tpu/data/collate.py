@@ -1,0 +1,110 @@
+"""Static-shape batch collation with Mix3D.
+
+Replaces the reference's ragged offset concatenation
+(`pointcept/datasets/utils.py:15-55`): scenes are concatenated into a fixed
+``num_points`` bucket with a validity mask and per-point scene ids — the
+format `cdsegnet_tpu.models.structure.PointBatch` expects. Mix3D merges
+random scene pairs with probability ``mix_prob`` (reference
+`point_collate_fn`, merging by dropping every other offset).
+
+For data parallelism, `collate_sharded` stacks one bucket per device along a
+leading axis to shard with `shard_map`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def mix3d(scenes: List[Dict], rng: np.random.Generator, mix_prob: float = 0.8):
+    """Merge consecutive scene pairs with probability ``mix_prob``."""
+    if len(scenes) > 1 and rng.random() < mix_prob:
+        merged = []
+        for i in range(0, len(scenes) - 1, 2):
+            a, b = scenes[i], scenes[i + 1]
+            m = {
+                k: np.concatenate([a[k], b[k]])
+                for k in a.keys()
+                if k in b and hasattr(a[k], "ndim")
+            }
+            merged.append(m)
+        if len(scenes) % 2 == 1:
+            merged.append(scenes[-1])
+        return merged
+    return scenes
+
+
+def collate_scenes(
+    scenes: List[Dict],
+    num_points: int,
+    num_scenes: Optional[int] = None,
+    feat_dim: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Pack scenes into one static bucket.
+
+    Returns numpy arrays: coord (N,3) f32, grid_coord (N,3) i32, feat (N,C)
+    f32, segment (N,) i32, batch (N,) i32, mask (N,) bool. Scenes overflowing
+    the bucket are truncated tail-first (with a stderr warning).
+    """
+    num_scenes = num_scenes or len(scenes)
+    assert len(scenes) <= num_scenes, (len(scenes), num_scenes)
+    if feat_dim is None:
+        feat_dim = scenes[0]["feat"].shape[-1]
+    coord = np.zeros((num_points, 3), np.float32)
+    grid = np.zeros((num_points, 3), np.int32)
+    feat = np.zeros((num_points, feat_dim), np.float32)
+    segment = np.full((num_points,), -1, np.int32)
+    batch = np.full((num_points,), num_scenes, np.int32)
+    mask = np.zeros((num_points,), bool)
+    pos = 0
+    for i, s in enumerate(scenes):
+        n = s["coord"].shape[0]
+        room = num_points - pos
+        if n > room:
+            import sys
+
+            print(
+                f"collate_scenes: truncating scene {i} ({n} -> {room} points)",
+                file=sys.stderr,
+            )
+            n = room
+        if n <= 0:
+            break
+        sl = slice(pos, pos + n)
+        coord[sl] = s["coord"][:n]
+        if "grid_coord" in s:
+            grid[sl] = s["grid_coord"][:n]
+        feat[sl] = s["feat"][:n]
+        if "segment" in s:
+            segment[sl] = np.asarray(s["segment"][:n]).reshape(-1)
+        batch[sl] = i
+        mask[sl] = True
+        pos += n
+    return dict(
+        coord=coord, grid_coord=grid, feat=feat, segment=segment,
+        batch=batch, mask=mask,
+    )
+
+
+def collate_sharded(
+    per_device_scenes: Sequence[List[Dict]],
+    num_points: int,
+    num_scenes: int,
+    feat_dim: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Stack one bucket per device on a leading axis (for shard_map)."""
+    buckets = [
+        collate_scenes(s, num_points, num_scenes, feat_dim)
+        for s in per_device_scenes
+    ]
+    return {k: np.stack([b[k] for b in buckets]) for k in buckets[0]}
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket that fits n points (largest bucket if none fit)."""
+    for b in sorted(buckets):
+        if n <= b:
+            return b
+    return max(buckets)

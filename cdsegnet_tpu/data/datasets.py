@@ -1,0 +1,295 @@
+"""Datasets: ScanNet / ScanNet200 / nuScenes / S3DIS / SemanticKITTI + base.
+
+Functional port of `pointcept/datasets/{defaults,scannet,nuscenes}.py` without
+torch DataLoader machinery: datasets are plain indexable objects; batching is
+done by `cdsegnet_tpu.data.collate` and iteration by the engine's loader.
+
+Scene files: `.pth` archives (torch is available CPU-side for compatibility
+with Pointcept-preprocessed data) or per-field `.npy` directories.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from copy import deepcopy
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from cdsegnet_tpu.data.transforms import TRANSFORMS, Compose
+from cdsegnet_tpu.utils.registry import Registry
+
+DATASETS = Registry("datasets")
+
+
+def _load_scene(path: str) -> Dict:
+    if os.path.isdir(path):
+        data = {}
+        for f in glob.glob(os.path.join(path, "*.npy")):
+            data[os.path.splitext(os.path.basename(f))[0]] = np.load(f)
+        data["scene_id"] = os.path.basename(path)
+        return data
+    import torch  # CPU torch, only for Pointcept-format archives
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    return {
+        k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in data.items()
+    }
+
+
+@DATASETS.register_module()
+class DefaultDataset:
+    """Reference `DefaultDataset` (`defaults.py:21-181`)."""
+
+    VALID_ASSETS = ("coord", "color", "normal", "strength", "segment", "instance")
+
+    def __init__(
+        self,
+        split: str = "train",
+        data_root: str = "data/dataset",
+        transform=None,
+        test_mode: bool = False,
+        test_cfg: Optional[Dict] = None,
+        loop: int = 1,
+        ignore_index: int = -1,
+    ):
+        self.split = split
+        self.data_root = data_root
+        self.transform = Compose(transform)
+        self.test_mode = test_mode
+        self.test_cfg = test_cfg if test_mode else None
+        self.loop = loop if not test_mode else 1
+        self.ignore_index = ignore_index
+        if test_mode:
+            tc = dict(test_cfg or {})
+            self.test_voxelize = (
+                TRANSFORMS.build(dict(tc["voxelize"])) if tc.get("voxelize") else None
+            )
+            self.test_crop = (
+                TRANSFORMS.build(dict(tc["crop"])) if tc.get("crop") else None
+            )
+            self.post_transform = Compose(tc.get("post_transform"))
+            self.aug_transform = [Compose(a) for a in tc.get("aug_transform", [[]])]
+        self.data_list = self.get_data_list()
+
+    def get_data_list(self) -> List[str]:
+        if isinstance(self.split, str):
+            splits = [self.split]
+        else:
+            splits = list(self.split)
+        out = []
+        for s in splits:
+            out += sorted(glob.glob(os.path.join(self.data_root, s, "*")))
+        return out
+
+    def get_data(self, idx: int) -> Dict:
+        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        coord = np.asarray(data["coord"], np.float32)
+        out = dict(coord=coord)
+        for k in ("color", "normal", "strength"):
+            if k in data:
+                out[k] = np.asarray(data[k], np.float32)
+        if "semantic_gt" in data:
+            out["segment"] = np.asarray(data["semantic_gt"]).reshape(-1).astype(np.int64)
+        elif "segment" in data:
+            out["segment"] = np.asarray(data["segment"]).reshape(-1).astype(np.int64)
+        else:
+            out["segment"] = np.full((coord.shape[0],), self.ignore_index, np.int64)
+        return out
+
+    def get_data_name(self, idx: int) -> str:
+        return os.path.splitext(
+            os.path.basename(self.data_list[idx % len(self.data_list)])
+        )[0]
+
+    def prepare_train_data(self, idx: int, rng: np.random.Generator) -> Dict:
+        return self.transform(self.get_data(idx), rng)
+
+    def prepare_test_data(self, idx: int, rng: np.random.Generator) -> Dict:
+        """Per-TTA-aug fragment expansion (reference `defaults.py:115-155`)."""
+        data = self.get_data(idx)
+        segment = data.pop("segment")
+        data = self.transform(data, rng)
+        result = dict(segment=segment, name=self.get_data_name(idx))
+        fragment_list = []
+        for aug in self.aug_transform:
+            aug_data = aug(deepcopy(data), rng)
+            if self.test_voxelize is not None:
+                parts = self.test_voxelize(aug_data, rng)
+            else:
+                aug_data["index"] = np.arange(aug_data["coord"].shape[0])
+                parts = [aug_data]
+            for part in parts:
+                if self.test_crop is not None:
+                    part = self.test_crop(part, rng)
+                else:
+                    part = [part]
+                fragment_list += part
+        result["fragment_list"] = [
+            self.post_transform(f, rng) for f in fragment_list
+        ]
+        return result
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        rng = rng or np.random.default_rng()
+        if self.test_mode:
+            return self.prepare_test_data(idx, rng)
+        return self.prepare_train_data(idx, rng)
+
+    def __len__(self):
+        return len(self.data_list) * self.loop
+
+
+# ScanNet v2 semantic-20 valid class ids (reference
+# `preprocessing/scannet/meta_data/scannet200_constants.py`).
+VALID_CLASS_IDS_20 = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39,
+)
+
+SCANNET20_NAMES = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refridgerator", "shower curtain", "toilet", "sink", "bathtub",
+    "otherfurniture",
+]
+
+
+@DATASETS.register_module()
+class ScanNetDataset(DefaultDataset):
+    """ScanNet 20-class (reference `scannet.py:26-185`)."""
+
+    segment_key = "semantic_gt20"
+    class2id = np.array(VALID_CLASS_IDS_20)
+
+    def __init__(self, lr_file=None, la_file=None, **kwargs):
+        self.lr_file = lr_file
+        self.la_file = la_file
+        super().__init__(**kwargs)
+        self.la = None
+        if la_file:
+            import torch
+
+            self.la = torch.load(la_file, weights_only=False)
+
+    def get_data_list(self):
+        if self.lr_file:
+            return [
+                os.path.join(self.data_root, "train", name + ".pth")
+                for name in np.loadtxt(self.lr_file, dtype=str)
+            ]
+        return super().get_data_list()
+
+    def get_data(self, idx: int) -> Dict:
+        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        coord = np.asarray(data["coord"], np.float32)
+        out = dict(
+            coord=coord,
+            color=np.asarray(data["color"], np.float32),
+            normal=np.asarray(data["normal"], np.float32),
+        )
+        if self.segment_key in data:
+            seg = np.asarray(data[self.segment_key]).reshape(-1).astype(np.int64)
+        elif "segment20" in data:
+            seg = np.asarray(data["segment20"]).reshape(-1).astype(np.int64)
+        else:
+            seg = np.full((coord.shape[0],), -1, np.int64)
+        out["segment"] = seg
+        if self.la is not None:
+            sampled = self.la[self.get_data_name(idx)]
+            mask = np.ones_like(seg, bool)
+            mask[sampled] = False
+            seg[mask] = self.ignore_index
+            out["segment"] = seg
+            out["sampled_index"] = sampled
+        return out
+
+
+@DATASETS.register_module()
+class ScanNet200Dataset(ScanNetDataset):
+    segment_key = "semantic_gt200"
+    # 200-class valid ids are loaded lazily from meta files when writing
+    # submissions; not needed for train/eval.
+    class2id = None
+
+
+@DATASETS.register_module()
+class NuScenesDataset(DefaultDataset):
+    """nuScenes lidarseg (reference `nuscenes.py:17-137`)."""
+
+    def __init__(self, sweeps=10, **kwargs):
+        self.sweeps = sweeps
+        ignore_index = kwargs.get("ignore_index", -1)
+        self.learning_map = self.get_learning_map(ignore_index)
+        super().__init__(**kwargs)
+
+    def get_info_path(self, split: str) -> str:
+        assert split in ("train", "val", "test")
+        return os.path.join(
+            self.data_root, "info", f"nuscenes_infos_{self.sweeps}sweeps_{split}.pkl"
+        )
+
+    def get_data_list(self):
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        data_list = []
+        for s in splits:
+            with open(self.get_info_path(s), "rb") as f:
+                data_list.extend(pickle.load(f))
+        return data_list
+
+    def get_data(self, idx: int) -> Dict:
+        info = self.data_list[idx % len(self.data_list)]
+        lidar_path = os.path.join(self.data_root, "raw", info["lidar_path"])
+        points = np.fromfile(lidar_path, dtype=np.float32).reshape(-1, 5)
+        coord = points[:, :3]
+        strength = points[:, 3:4] / 255.0
+        if "gt_segment_path" in info:
+            seg_path = os.path.join(self.data_root, "raw", info["gt_segment_path"])
+            raw = np.fromfile(seg_path, dtype=np.uint8).reshape(-1)
+            lut = np.full((max(self.learning_map) + 1,), self.ignore_index, np.int64)
+            for k, v in self.learning_map.items():
+                lut[k] = v
+            segment = lut[raw]
+        else:
+            segment = np.full((points.shape[0],), self.ignore_index, np.int64)
+        return dict(coord=coord, strength=strength, segment=segment)
+
+    def get_data_name(self, idx: int) -> str:
+        return self.data_list[idx % len(self.data_list)]["lidar_token"]
+
+    @staticmethod
+    def get_learning_map(ignore_index: int) -> Dict[int, int]:
+        # 32 raw lidarseg classes -> 16 learning classes
+        # (reference `nuscenes.py:102-137`)
+        return {
+            0: ignore_index, 1: ignore_index, 2: 6, 3: 6, 4: 6,
+            5: ignore_index, 6: 6, 7: ignore_index, 8: ignore_index, 9: 0,
+            10: ignore_index, 11: ignore_index, 12: 7, 13: ignore_index,
+            14: 1, 15: 2, 16: 2, 17: 3, 18: 4, 19: ignore_index,
+            20: ignore_index, 21: 5, 22: 8, 23: 9, 24: 10, 25: 11, 26: 12,
+            27: 13, 28: 14, 29: ignore_index, 30: 15, 31: ignore_index,
+        }
+
+
+@DATASETS.register_module()
+class ConcatDataset:
+    def __init__(self, datasets: Sequence[Dict], loop: int = 1):
+        self.datasets = [DATASETS.build(dict(d)) for d in datasets]
+        self.loop = loop
+        self.lengths = [len(d) for d in self.datasets]
+
+    def get(self, idx, rng=None):
+        idx = idx % sum(self.lengths)
+        for d, n in zip(self.datasets, self.lengths):
+            if idx < n:
+                return d.get(idx, rng)
+            idx -= n
+        raise IndexError
+
+    def __len__(self):
+        return sum(self.lengths) * self.loop
+
+
+def build_dataset(cfg: Dict):
+    return DATASETS.build(dict(cfg))

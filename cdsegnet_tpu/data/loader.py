@@ -1,0 +1,134 @@
+"""Batch loaders: sampling, Mix3D, static-bucket collation, prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(`pointcept/engines/train.py:292-342`): per-device scene lists are sampled
+host-side, collated into fixed-size buckets, and prefetched on a background
+thread so host preprocessing overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from cdsegnet_tpu.data.collate import collate_sharded, mix3d
+
+
+class TrainLoader:
+    """Epoch-based shuffled loader producing sharded static batches.
+
+    Each batch: dict of arrays with leading axis = num_devices; each device
+    bucket holds `scenes_per_device` scenes (post-Mix3D) padded to
+    `num_points`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        num_devices: int = 1,
+        scenes_per_device: int = 2,
+        num_points: int = 204800,
+        mix_prob: float = 0.0,
+        seed: int = 0,
+        feat_dim: Optional[int] = None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.num_devices = num_devices
+        self.scenes_per_device = scenes_per_device
+        self.num_points = num_points
+        self.mix_prob = mix_prob
+        self.seed = seed
+        self.feat_dim = feat_dim
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.scenes_per_batch = num_devices * scenes_per_device
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.scenes_per_batch
+        return (n + self.scenes_per_batch - 1) // self.scenes_per_batch
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + epoch)
+        return rng.permutation(len(self.dataset))
+
+    def _make_batch(self, idxs: Sequence[int], epoch: int, step: int):
+        rng = np.random.default_rng(
+            (self.seed, epoch, step, 0xC0FFEE)
+        )
+        per_device: List[List[Dict]] = []
+        for d in range(self.num_devices):
+            scene_ids = idxs[
+                d * self.scenes_per_device: (d + 1) * self.scenes_per_device
+            ]
+            scenes = [self.dataset.get(int(i), rng) for i in scene_ids]
+            scenes = mix3d(scenes, rng, self.mix_prob)
+            per_device.append(scenes)
+        return collate_sharded(
+            per_device, self.num_points, self.scenes_per_device, self.feat_dim
+        )
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idxs = self._epoch_indices(epoch)
+        nb = len(self)
+        if self.prefetch > 0:
+            yield from self._prefetched(idxs, epoch, nb)
+        else:
+            for step in range(nb):
+                lo = step * self.scenes_per_batch
+                yield self._make_batch(idxs[lo: lo + self.scenes_per_batch], epoch, step)
+
+    def _prefetched(self, idxs, epoch, nb):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for step in range(nb):
+                    lo = step * self.scenes_per_batch
+                    q.put(
+                        self._make_batch(
+                            idxs[lo: lo + self.scenes_per_batch], epoch, step
+                        )
+                    )
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class EvalLoader:
+    """Sequential whole-scene loader (one scene per batch, bucketed size)."""
+
+    def __init__(self, dataset, num_points: int, num_scenes: int = 1,
+                 feat_dim: Optional[int] = None, seed: int = 0):
+        self.dataset = dataset
+        self.num_points = num_points
+        self.num_scenes = num_scenes
+        self.feat_dim = feat_dim
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        from cdsegnet_tpu.data.collate import collate_scenes
+
+        rng = np.random.default_rng(self.seed)
+        for i in range(len(self.dataset)):
+            scene = self.dataset.get(i, rng)
+            yield collate_scenes(
+                [scene], self.num_points, self.num_scenes, self.feat_dim
+            ), scene

@@ -1,0 +1,151 @@
+"""Train state + jitted data-parallel train/eval steps.
+
+The TPU counterpart of `Trainer.run_step`
+(reference `pointcept/engines/train.py:216-271`): forward + loss -> grads ->
+cross-device `pmean` over the "data" mesh axis -> selective grad clip ->
+optimizer update. bfloat16 compute replaces the reference's AMP GradScaler
+machinery entirely (bf16 needs no loss scaling).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from cdsegnet_tpu.models.losses import Criteria
+from cdsegnet_tpu.models.structure import PointBatch, make_point_batch
+from cdsegnet_tpu.parallel.mesh import DATA_AXIS
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation, rng: jax.Array):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            rng=rng,
+        )
+
+
+def batch_to_point(batch: Dict[str, jnp.ndarray], depth: int, num_scenes: int) -> PointBatch:
+    return make_point_batch(
+        coord=batch["coord"],
+        feat=batch["feat"],
+        grid_coord=batch["grid_coord"],
+        batch=batch["batch"],
+        mask=batch["mask"],
+        segment=batch.get("segment"),
+        depth=depth,
+        num_scenes=num_scenes,
+    )
+
+
+def make_train_step(
+    model,
+    criteria: Criteria,
+    tx: optax.GradientTransformation,
+    depth: int,
+    num_scenes: int,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.
+
+    With a mesh, the batch dict must carry a leading device axis; shard_map
+    runs one bucket per device and averages grads via psum over ICI.
+    """
+
+    def local_step(state: TrainState, batch: Dict[str, jnp.ndarray], dev_idx):
+        point = batch_to_point(batch, depth, num_scenes)
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.fold_in(step_rng, dev_idx)
+        k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
+        rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                point,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            loss = criteria(out, mode="train")
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss_avg = jax.lax.pmean(loss, DATA_AXIS)
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        else:
+            loss_avg = loss
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss=loss_avg, valid_points=jnp.sum(point.mask))
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        @jax.jit
+        def step_fn(state, batch):
+            return local_step(state, batch, jnp.int32(0))
+
+        return step_fn
+
+    state_spec = P()  # replicated
+    batch_spec = P(DATA_AXIS)
+
+    def sharded(state, batch):
+        dev = jax.lax.axis_index(DATA_AXIS)
+        # strip the leading device axis inside the shard
+        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return local_step(state, local_batch, dev)
+
+    smapped = shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec),
+        out_specs=(state_spec, P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped)
+
+
+def make_eval_step(model, criteria: Optional[Criteria], depth: int, num_scenes: int):
+    """Jitted SSI inference step returning logits (+ optional eval loss)."""
+
+    @jax.jit
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        point = batch_to_point(batch, depth, num_scenes)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(
+            variables, point, method=type(model).inference,
+            rngs=dict(diffusion=rng),
+        )
+        return out
+
+    return step_fn

@@ -1,0 +1,94 @@
+"""Model registry + config-dict factories.
+
+Accepts reference-style config dicts (`configs/scannet/CDSegNet.py:55-138`)
+and maps their keys to our module fields, so existing Pointcept experiment
+configs port with minimal edits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from cdsegnet_tpu.models.ptv3 import PointTransformerV3
+from cdsegnet_tpu.models.segmentor import CNFSegmentor, PlainSegmentor
+from cdsegnet_tpu.utils.registry import Registry
+
+MODELS = Registry("models")
+
+_ORDER_ALIASES = {"z_trans": "z-trans", "hilbert_trans": "hilbert-trans"}
+
+
+def _norm_orders(order):
+    if isinstance(order, str):
+        order = (order,)
+    return tuple(_ORDER_ALIASES.get(o, o) for o in order)
+
+
+@MODELS.register_module("PT-v3m1")
+def build_ptv3(**cfg: Any) -> PointTransformerV3:
+    """Translate reference PT-v3m1 kwargs into `PointTransformerV3` fields."""
+    dtype = cfg.pop("dtype", jnp.float32)
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
+    drop = {
+        # reference options that are fixed / unsupported by design:
+        "enable_rpe", "enable_flash", "upcast_attention", "cls_mode",
+        "pdnorm_bn", "pdnorm_ln", "pdnorm_decouple", "pdnorm_adaptive",
+        "pdnorm_affine", "pdnorm_conditions", "pre_norm", "attn_drop",
+        "tm_restomer", "b_factor", "s_factor",
+    }
+    skip_mode = cfg.pop("skip_connection_mode", "cat")
+    skip_scale = cfg.pop("skip_connection_scale", True)
+    skip_scale_i = cfg.pop("skip_connection_scale_i", False)
+    # reference semantics (`point_transformer_v3m1_base.py:1527,1672`):
+    #   "add"     -> n: add, c: add;  "cat" -> n: add, c: cat
+    #   "cat_all" -> n: cat, c: cat
+    n_mode = "cat" if skip_mode == "cat_all" else "add"
+    c_mode = "add" if skip_mode == "add" else "cat"
+    # c-branch skip scaling quirk: exponential scaling with i=False is always
+    # on (0.8**-1), universal scaling (2**-0.5) iff skip_connection_scale.
+    c_scale = (0.8 ** -1) * (2.0 ** -0.5 if skip_scale else 1.0)
+    n_scale = 1.0
+    if skip_scale_i:
+        # n-branch exponential scaling by stage is not stage-resolvable in a
+        # single scalar; approximated off (no CDSegNet config enables it).
+        pass
+    kwargs: Dict[str, Any] = dict(
+        orders=_norm_orders(cfg.pop("order", ("z", "z-trans", "hilbert", "hilbert-trans"))),
+        t_dim=cfg.pop("T_dim", 128),
+        upcast_softmax=cfg.pop("upcast_softmax", True),
+        n_skip_mode=n_mode,
+        c_skip_mode=c_mode,
+        c_skip_scale=c_scale,
+        dtype=dtype,
+    )
+    del n_scale
+    for k, v in cfg.items():
+        if k in drop:
+            continue
+        kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return PointTransformerV3(**kwargs)
+
+
+@MODELS.register_module("DefaultSegmentorV2")
+def build_cnf_segmentor(backbone: Dict[str, Any], **cfg: Any) -> CNFSegmentor:
+    bb = build_model(backbone)
+    keep = {
+        "num_classes", "T", "beta_start", "beta_end", "noise_schedule",
+        "dm", "dm_input", "dm_target", "dm_min_snr", "condition",
+        "c_in_channels",
+    }
+    kwargs = {k: v for k, v in cfg.items() if k in keep}
+    kwargs["t_dim"] = cfg.get("T_dim", 128)
+    return CNFSegmentor(backbone=bb, **kwargs)
+
+
+@MODELS.register_module("DefaultSegmentor")
+def build_plain_segmentor(backbone: Dict[str, Any], **cfg: Any) -> PlainSegmentor:
+    return PlainSegmentor(backbone=build_model(backbone))
+
+
+def build_model(cfg: Dict[str, Any]):
+    return MODELS.build(cfg)

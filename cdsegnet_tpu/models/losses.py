@@ -1,0 +1,202 @@
+"""Masked losses + the Criteria combiner (EW / GLS).
+
+Rebuilds `pointcept/models/losses/{builder,misc,lovasz}.py` for static padded
+batches: every loss takes explicit validity masks instead of boolean
+indexing, so the whole pipeline stays jittable.
+
+GLS ("geometric loss strategy", reference `builder.py:37-49`) for CDSegNet:
+``loss = sqrt(MSE * (CE + Lovasz))`` with task_num=2.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    v = valid.astype(x.dtype)
+    v = v.reshape(v.shape + (1,) * (x.ndim - v.ndim))
+    return jnp.sum(x * v) / jnp.maximum(jnp.sum(v) * (x.size // v.size), 1.0)
+
+
+def mse_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid: jnp.ndarray,
+    snr_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked MSE on the noise branch (reference `misc.py:24-89`).
+
+    ``valid`` already encodes the reference's `ignore_index` semantics
+    (segment != -1) plus padding.
+    """
+    err = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if snr_weight is not None:
+        err = err * snr_weight[:, None].astype(jnp.float32)
+    return masked_mean(err, valid)
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    valid: jnp.ndarray,
+    label_smoothing: float = 0.0,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked CE, mean over valid points (reference `misc.py:91-129`)."""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(target, 0, num_classes - 1)
+    if label_smoothing > 0.0:
+        onehot = jax.nn.one_hot(tgt, num_classes, dtype=jnp.float32)
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
+        nll = -jnp.sum(onehot * logp, axis=-1)
+    else:
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[tgt]
+        nll = nll * w
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(w * valid), 1e-8)
+    return masked_mean(nll, valid)
+
+
+def _lovasz_grad_masked(fg_sorted, valid_sorted):
+    """Jaccard-extension gradient with invalid rows excluded from the
+    cumulative union (cf. reference `_lovasz_grad`, `lovasz.py:22-33`)."""
+    gts = jnp.sum(fg_sorted)
+    inter = gts - jnp.cumsum(fg_sorted)
+    union = gts + jnp.cumsum(valid_sorted * (1.0 - fg_sorted))
+    jacc = 1.0 - inter / jnp.maximum(union, 1e-8)
+    return jnp.concatenate([jacc[:1], jacc[1:] - jacc[:-1]])
+
+
+def lovasz_softmax_loss(
+    logits: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked multiclass Lovasz-Softmax over present classes
+    (reference `lovasz.py:119-165,210-265`)."""
+    num_classes = logits.shape[-1]
+    probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    v = valid.astype(jnp.float32)
+
+    def per_class(c):
+        fg = ((target == c).astype(jnp.float32)) * v
+        errors = jnp.abs(fg - probas[:, c]) * v  # invalid rows contribute 0
+        order = jnp.argsort(-errors)
+        err_s = errors[order]
+        fg_s = fg[order]
+        v_s = v[order]
+        grad = _lovasz_grad_masked(fg_s, v_s)
+        loss_c = jnp.dot(err_s, grad)
+        present = jnp.sum(fg) > 0
+        return loss_c, present
+
+    losses, present = jax.vmap(per_class)(jnp.arange(num_classes))
+    pres = present.astype(jnp.float32)
+    return jnp.sum(losses * pres) / jnp.maximum(jnp.sum(pres), 1.0)
+
+
+def focal_loss(
+    logits, target, valid, gamma: float = 2.0, alpha: float = 0.5
+) -> jnp.ndarray:
+    """Multiclass sigmoid focal loss (reference `misc.py:185-261`)."""
+    num_classes = logits.shape[-1]
+    tgt = jax.nn.one_hot(jnp.clip(target, 0, num_classes - 1), num_classes)
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    one_minus_pt = (1 - p) * tgt + p * (1 - tgt)
+    w = (alpha * tgt + (1 - alpha) * (1 - tgt)) * one_minus_pt**gamma
+    bce = jnp.maximum(logits, 0) - logits * tgt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return masked_mean(bce * w, valid)
+
+
+def dice_loss(
+    logits, target, valid, smooth: float = 1.0, exponent: float = 2.0
+) -> jnp.ndarray:
+    """Multiclass Dice (reference `misc.py:264-312`)."""
+    num_classes = logits.shape[-1]
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    v = valid.astype(jnp.float32)[:, None]
+    tgt = jax.nn.one_hot(jnp.clip(target, 0, num_classes - 1), num_classes) * v
+    p = p * v
+    num = 2 * jnp.sum(p * tgt, axis=0) + smooth
+    den = jnp.sum(p**exponent + tgt**exponent, axis=0) + smooth
+    return jnp.mean(1 - num / den)
+
+
+class Criteria:
+    """Loss combiner (reference `builder.py:14-54`).
+
+    ``loss_type``: "EW" sums all terms; "GLS" (train only) computes
+    ``(MSE * (CE + Lovasz)) ** (1/task_num)``.
+    """
+
+    def __init__(self, loss_cfgs=None, loss_type: str = "EW", task_num: int = 2):
+        self.loss_cfgs = loss_cfgs or []
+        self.loss_type = loss_type
+        self.task_num = task_num
+
+    def _terms(self, out: Dict[str, jnp.ndarray]):
+        terms = []
+        for cfg in self.loss_cfgs:
+            kind = cfg["type"]
+            w = cfg.get("loss_weight", 1.0)
+            if kind == "MSELoss":
+                if "c_pred" not in out:
+                    continue
+                terms.append(
+                    w
+                    * mse_loss(
+                        out["c_pred"], out["c_target"], out["seg_valid"],
+                        out.get("snr_loss_weight"),
+                    )
+                )
+            elif kind == "CrossEntropyLoss":
+                terms.append(
+                    w
+                    * cross_entropy_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        label_smoothing=cfg.get("label_smoothing", 0.0),
+                        weight=cfg.get("weight"),
+                    )
+                )
+            elif kind == "LovaszLoss":
+                terms.append(
+                    w
+                    * lovasz_softmax_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"]
+                    )
+                )
+            elif kind == "FocalLoss":
+                terms.append(
+                    w * focal_loss(out["n_pred"], out["n_target"], out["seg_valid"])
+                )
+            elif kind == "DiceLoss":
+                terms.append(
+                    w * dice_loss(out["n_pred"], out["n_target"], out["seg_valid"])
+                )
+            else:
+                raise NotImplementedError(kind)
+        return terms
+
+    def __call__(self, out: Dict[str, jnp.ndarray], mode: str = "train"):
+        terms = self._terms(out)
+        if not terms:
+            return jnp.asarray(0.0, jnp.float32)
+        if mode == "eval" or self.loss_type == "EW":
+            return sum(terms)
+        if self.loss_type == "GLS":
+            if self.task_num == 1 and len(terms) >= 2:
+                loss = terms[0] + terms[1]
+            elif self.task_num == 2 and len(terms) == 3:
+                loss = terms[0] * (terms[1] + terms[2])  # MSE * (CE + Lovasz)
+            else:
+                loss = jnp.prod(jnp.stack(terms))
+            return jnp.power(jnp.maximum(loss, 1e-12), 1.0 / self.task_num)
+        raise ValueError(self.loss_type)
+
+
+def build_criteria(cfg, loss_type="EW", task_num=2) -> Criteria:
+    return Criteria(cfg, loss_type=loss_type, task_num=task_num)

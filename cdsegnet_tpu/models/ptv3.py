@@ -1,0 +1,707 @@
+"""Dual-branch Point Transformer V3 backbone (TPU-native).
+
+Rebuilds `PT-v3m1` (reference
+`pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py:1340-1846`)
+on top of the static-shape geometry pyramid:
+
+- `SerializedAttention` -> masked patch attention over sorted arrays
+  (no pad/unpad index maps, reference `:188-296`);
+- xCPE / stem spconv -> `SubMConv` over per-level neighbor tables
+  (reference `:355-365,646-663`);
+- `SerializedPooling`/`SerializedUnpooling` -> shared pyramid cluster maps +
+  per-branch feature reduce/broadcast (reference `:431-630`);
+- `TransferModule` cross-attention at the bottleneck operates on the shared
+  level geometry, so q/kv patches are spatially aligned by construction
+  (the reference pairs patches from independently shuffled curves,
+  `:988-1055`).
+
+The n-branch (semantic / Conditional Network) is dominant; the c-branch
+(Noise Network) is the small diffusion branch carrying the timestep embedding
+(`t_emb`). Both run over the same pyramid; c-branch stage s uses pyramid
+level ``c_level_map[s]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.modules import (
+    LayerNorm,
+    MaskedBatchNorm,
+    Mlp,
+    SubMConv,
+    drop_path,
+    swish,
+)
+from cdsegnet_tpu.models.structure import PointBatch
+from cdsegnet_tpu.ops.attention import cross_patch_attention, patch_attention
+
+DEFAULT_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+
+class SerializedAttention(nn.Module):
+    """Self attention within serialized patches (reference `:125-296`)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    order_index: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    upcast_softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, deterministic: bool = True):
+        c, h = self.channels, self.num_heads
+        d = c // h
+        n = point.num_points
+        k = min(self.patch_size, n)
+        scale = self.qk_scale or d**-0.5
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(
+            point.feat
+        )
+        order = point.orders[self.order_index]
+        inverse = point.inverses[self.order_index]
+        qkv_s = jnp.take(qkv, order, axis=0).reshape(n, 3, h, d)
+        q, kk, v = qkv_s[:, 0], qkv_s[:, 1], qkv_s[:, 2]
+        bs = jnp.take(point.batch, order)
+        ms = jnp.take(point.mask, order)
+        out = patch_attention(
+            q, kk, v, bs, ms, k, scale, upcast_softmax=self.upcast_softmax
+        )
+        feat = jnp.take(out.reshape(n, c), inverse, axis=0)
+        feat = nn.Dense(c, dtype=self.dtype, name="proj")(feat)
+        feat = nn.Dropout(self.proj_drop)(feat, deterministic=deterministic)
+        return point.replace(feat=feat)
+
+
+class Block(nn.Module):
+    """xCPE + (optional t-injection) + prenorm attention + FFN
+    (reference `:325-428`)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    order_index: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    t_dim: int = -1
+    upcast_softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, deterministic: bool = True):
+        c = self.channels
+        shortcut = point.feat
+        f = SubMConv(c, c, 27, use_bias=True, dtype=self.dtype, name="cpe_conv")(
+            point.feat, point.neighbor_idx
+        )
+        f = nn.Dense(c, dtype=self.dtype, name="cpe_fc")(f)
+        f = LayerNorm(c, dtype=self.dtype, name="cpe_norm")(f)
+        feat = shortcut + f
+        shortcut = feat
+
+        if self.t_dim != -1 and point.t_emb is not None:
+            t = nn.Dense(c, dtype=self.dtype, name="t_mlp")(point.t_emb)
+            feat = shortcut + t
+            shortcut = feat
+
+        f = LayerNorm(c, dtype=self.dtype, name="norm1")(feat)
+        f = SerializedAttention(
+            channels=c,
+            num_heads=self.num_heads,
+            patch_size=self.patch_size,
+            order_index=self.order_index,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            proj_drop=self.proj_drop,
+            upcast_softmax=self.upcast_softmax,
+            dtype=self.dtype,
+            name="attn",
+        )(point.replace(feat=f), deterministic).feat
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0)
+            else None
+        )
+        feat = shortcut + drop_path(f, self.drop_path_rate, rng, deterministic)
+
+        shortcut = feat
+        f = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
+        f = Mlp(
+            hidden=int(c * self.mlp_ratio), out=c, drop=self.proj_drop,
+            dtype=self.dtype, name="mlp",
+        )(f, deterministic)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0)
+            else None
+        )
+        feat = shortcut + drop_path(f, self.drop_path_rate, rng, deterministic)
+        return point.replace(feat=feat)
+
+
+class Embedding(nn.Module):
+    """k5 submanifold stem + BN + GELU (reference `:633-663`)."""
+
+    in_channels: int
+    embed_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, stem_neighbor, train: bool = False):
+        f = SubMConv(
+            self.in_channels, self.embed_channels, 125, use_bias=False,
+            dtype=self.dtype, name="stem_conv",
+        )(point.feat, stem_neighbor)
+        f = MaskedBatchNorm(self.embed_channels, dtype=self.dtype, name="norm")(
+            f, point.mask, use_running_average=not train
+        )
+        f = nn.gelu(f, approximate=False)
+        return point.replace(feat=f)
+
+
+class PoolingProj(nn.Module):
+    """proj -> segment-max -> BN -> GELU (reference SerializedPooling
+    `:431-555`, geometry factored out into the shared pyramid)."""
+
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, levels: Sequence[pyr.Level], lo: int, hi: int,
+                 mask_out, train: bool = False):
+        f = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
+        for l in range(lo + 1, hi + 1):
+            f = pyr.pool_features(f, levels[l], reduce="max")
+        f = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="norm")(
+            f, mask_out, use_running_average=not train
+        )
+        return nn.gelu(f, approximate=False)
+
+
+class UnpoolingProj(nn.Module):
+    """proj / proj_skip (+BN+GELU each) then add or concat fusion
+    (reference SerializedUnpooling `:558-630`)."""
+
+    in_channels: int
+    skip_channels: int
+    out_channels: int
+    mode: str = "add"  # "add" | "cat"
+    skip_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, skip_feat, levels: Sequence[pyr.Level],
+                 hi: int, lo: int, mask_out, train: bool = False):
+        f = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
+        f = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="proj_norm")(
+            f, levels[hi].point.mask, use_running_average=not train
+        )
+        f = nn.gelu(f, approximate=False)
+        s = nn.Dense(self.out_channels, dtype=self.dtype, name="proj_skip")(skip_feat)
+        s = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="skip_norm")(
+            s, mask_out, use_running_average=not train
+        )
+        s = nn.gelu(s, approximate=False)
+        if self.skip_scale != 1.0:
+            s = s * jnp.asarray(self.skip_scale, s.dtype)
+        for l in range(hi, lo, -1):
+            f = pyr.unpool_features(f, levels[l])
+        if self.mode == "add":
+            return s + f
+        elif self.mode == "cat":
+            return nn.Dense(self.out_channels, dtype=self.dtype, name="proj_cat")(
+                jnp.concatenate([s, f], axis=-1)
+            )
+        raise ValueError(self.mode)
+
+
+class CrossAttention(nn.Module):
+    """Serialized cross attention: q from one branch, kv from the other
+    (reference `SerializedCrossAttention`, `:859-1055`)."""
+
+    q_channels: int
+    kv_channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    upcast_softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_point: PointBatch, kv_point: PointBatch,
+                 order_index: int = 0, deterministic: bool = True):
+        c, h = self.q_channels, self.num_heads
+        d = c // h
+        n = q_point.num_points
+        k = min(self.patch_size, n)
+        scale = self.qk_scale or d**-0.5
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(
+            q_point.feat
+        )
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(
+            kv_point.feat
+        )
+        q_order = q_point.orders[order_index]
+        q_inverse = q_point.inverses[order_index]
+        kv_order = kv_point.orders[order_index]
+        q_s = jnp.take(q, q_order, axis=0).reshape(n, h, d)
+        kv_s = jnp.take(kv, kv_order, axis=0).reshape(-1, 2, h, d)
+        out = cross_patch_attention(
+            q_s, kv_s[:, 0], kv_s[:, 1],
+            jnp.take(q_point.batch, q_order), jnp.take(q_point.mask, q_order),
+            jnp.take(kv_point.batch, kv_order), jnp.take(kv_point.mask, kv_order),
+            k, k, scale, upcast_softmax=self.upcast_softmax,
+        )
+        feat = jnp.take(out.reshape(n, c), q_inverse, axis=0)
+        feat = nn.Dense(c, dtype=self.dtype, name="proj")(feat)
+        feat = nn.Dropout(self.proj_drop)(feat, deterministic=deterministic)
+        return q_point.replace(feat=feat)
+
+
+class CrossBlock(nn.Module):
+    """CNF fusion block: per-branch xCPE, cross attention with optional
+    learned fusion gates, FFN (reference `:1058-1223`)."""
+
+    q_channels: int
+    kv_channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    tm_feat: object = 1.0  # scalar | "channel_scale" | "b_channel_scale" | "lr_scale" | "b_lr_scale"
+    upcast_softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_point: PointBatch, kv_point: PointBatch,
+                 order_index: int = 0, deterministic: bool = True):
+        qc, kc = self.q_channels, self.kv_channels
+        # q branch xCPE
+        q_shortcut = q_point.feat
+        f = SubMConv(qc, qc, 27, dtype=self.dtype, name="q_cpe_conv")(
+            q_point.feat, q_point.neighbor_idx
+        )
+        f = nn.Dense(qc, dtype=self.dtype, name="q_cpe_fc")(f)
+        f = LayerNorm(qc, dtype=self.dtype, name="q_cpe_norm")(f)
+        q_feat = q_shortcut + f
+        q_shortcut = q_feat
+        # kv branch xCPE
+        kv_shortcut = kv_point.feat
+        f = SubMConv(kc, kc, 27, dtype=self.dtype, name="kv_cpe_conv")(
+            kv_point.feat, kv_point.neighbor_idx
+        )
+        f = nn.Dense(kc, dtype=self.dtype, name="kv_cpe_fc")(f)
+        f = LayerNorm(kc, dtype=self.dtype, name="kv_cpe_norm")(f)
+        kv_feat = kv_shortcut + f
+
+        qn = LayerNorm(qc, dtype=self.dtype, name="q_norm1")(q_feat)
+        kn = LayerNorm(kc, dtype=self.dtype, name="kv_norm1")(kv_feat)
+        attn_out = CrossAttention(
+            q_channels=qc, kv_channels=kc, num_heads=self.num_heads,
+            patch_size=self.patch_size, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+            upcast_softmax=self.upcast_softmax, dtype=self.dtype, name="attn",
+        )(
+            q_point.replace(feat=qn), kv_point.replace(feat=kn),
+            order_index, deterministic,
+        ).feat
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0)
+            else None
+        )
+        attn_out = drop_path(attn_out, self.drop_path_rate, rng, deterministic)
+
+        # fusion gates (reference `:1092-1103,1196-1206`)
+        if self.tm_feat == "channel_scale":
+            g = jax.nn.sigmoid(
+                self.param("feat_scale", nn.initializers.ones, (1, qc), jnp.float32)
+            ).astype(attn_out.dtype)
+            q_feat = q_shortcut + g * attn_out
+        elif self.tm_feat == "b_channel_scale":
+            g = jax.nn.sigmoid(
+                self.param(
+                    "feat_scale",
+                    nn.initializers.constant(0.5),
+                    (1, qc),
+                    jnp.float32,
+                )
+            ).astype(attn_out.dtype)
+            q_feat = (1.0 - g) * q_shortcut + g * attn_out
+        elif self.tm_feat == "lr_scale":
+            g = self.param(
+                "feat_scale", nn.initializers.ones, (1,), jnp.float32
+            ).astype(attn_out.dtype)
+            q_feat = q_shortcut + g * attn_out
+        elif self.tm_feat == "b_lr_scale":
+            g = self.param(
+                "feat_scale", nn.initializers.constant(0.5), (1,), jnp.float32
+            ).astype(attn_out.dtype)
+            q_feat = (1.0 - g) * q_shortcut + g * attn_out
+        else:
+            q_feat = q_shortcut + float(self.tm_feat) * attn_out
+
+        q_shortcut = q_feat
+        f = LayerNorm(qc, dtype=self.dtype, name="q_norm2")(q_feat)
+        f = Mlp(
+            hidden=int(qc * self.mlp_ratio), out=qc, drop=self.proj_drop,
+            dtype=self.dtype, name="mlp",
+        )(f, deterministic)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0)
+            else None
+        )
+        q_feat = q_shortcut + drop_path(f, self.drop_path_rate, rng, deterministic)
+        # The reference mutates kv_point in place, so the kv branch leaves the
+        # block with its xCPE + norm1 applied (`:1186-1193`); preserve that.
+        return q_point.replace(feat=q_feat), kv_point.replace(feat=kn)
+
+
+class TransferModule(nn.Module):
+    """Bottleneck fusion: optionally bidirectional pair of CrossBlocks
+    (reference `:1225-1337`)."""
+
+    q_channels: int
+    kv_channels: int
+    q_num_heads: int
+    kv_num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    bidirectional: bool = False
+    tm_feat: object = 1.0
+    upcast_softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c_point: PointBatch, n_point: PointBatch,
+                 deterministic: bool = True):
+        if self.bidirectional:
+            c_point, n_point = CrossBlock(
+                q_channels=self.kv_channels, kv_channels=self.q_channels,
+                num_heads=self.kv_num_heads, patch_size=self.patch_size,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                drop_path_rate=self.drop_path_rate, tm_feat=self.tm_feat,
+                upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                name="cross_block1",
+            )(c_point, n_point, 0, deterministic)
+        n_point, c_point = CrossBlock(
+            q_channels=self.q_channels, kv_channels=self.kv_channels,
+            num_heads=self.q_num_heads, patch_size=self.patch_size,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+            drop_path_rate=self.drop_path_rate, tm_feat=self.tm_feat,
+            upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+            name="cross_block2",
+        )(n_point, c_point, 0, deterministic)
+        return c_point, n_point
+
+
+def _cumshift(strides: Sequence[int]) -> list:
+    """Cumulative bit shift per stage: (2,2,2,2) -> [0,1,2,3,4]."""
+    out = [0]
+    for s in strides:
+        out.append(out[-1] + (s - 1).bit_length())
+    return out
+
+
+class PointTransformerV3(nn.Module):
+    """Dual-branch PTv3 (reference `:1340-1846`); flagship CDSegNet backbone.
+
+    `capacity_div[k]` is the static slot-count divisor of pyramid level k
+    relative to the level-0 bucket size (rounded up to a patch multiple).
+    """
+
+    c_in_channels: int = 6
+    n_in_channels: int = 6
+    orders: Tuple[str, ...] = DEFAULT_ORDERS
+
+    c_stride: Tuple[int, ...] = (4, 4)
+    c_enc_depths: Tuple[int, ...] = (2, 2, 2)
+    c_enc_channels: Tuple[int, ...] = (32, 64, 128)
+    c_enc_num_head: Tuple[int, ...] = (2, 4, 8)
+    c_enc_patch_size: Tuple[int, ...] = (1024, 1024, 1024)
+    c_dec_depths: Tuple[int, ...] = (2, 2)
+    c_dec_channels: Tuple[int, ...] = (64, 64)
+    c_dec_num_head: Tuple[int, ...] = (4, 4)
+    c_dec_patch_size: Tuple[int, ...] = (1024, 1024)
+
+    n_stride: Tuple[int, ...] = (2, 2, 2, 2)
+    n_enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 6)
+    n_enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    n_enc_num_head: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    n_enc_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024, 1024)
+    n_dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    n_dec_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    n_dec_num_head: Tuple[int, ...] = (4, 4, 8, 16)
+    n_dec_patch_size: Tuple[int, ...] = (1024, 1024, 1024, 1024)
+
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    drop_path: float = 0.3
+    shuffle_orders: bool = True
+    upcast_softmax: bool = True
+
+    num_classes: int = 20
+    t_dim: int = 128
+    condition: bool = False
+    tm_bidirectional: bool = False
+    tm_feat: object = 1.0
+
+    # skip connection behaviour; reference config "cat" means n-branch "add" +
+    # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
+    # reference quirk 0.8**-1 * 2**-0.5 (exponential scaling applied with
+    # i=False plus universal scaling, `:34-38,607-611`).
+    n_skip_mode: str = "add"
+    c_skip_mode: str = "cat"
+    c_skip_scale: float = (0.8 ** -1) * (2.0 ** -0.5)
+
+    capacity_div: Tuple[int, ...] = (1, 2, 4, 16, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert len(self.n_enc_depths) == len(self.n_stride) + 1
+        self.n_shifts = _cumshift(self.n_stride)
+        self.c_shifts = _cumshift(self.c_stride)
+        assert set(self.c_shifts) <= set(self.n_shifts), (
+            "c-branch grids must be a subset of n-branch grids"
+        )
+
+    def _pyramid(self, point: PointBatch, shuffle_key):
+        n0 = point.num_points
+        patch = max(self.n_enc_patch_size)
+        caps = [
+            pyr.round_up(max(n0 // d, patch), patch) for d in self.capacity_div[1:]
+        ]
+        return pyr.build_pyramid(
+            point,
+            strides=self.n_stride,
+            capacities=caps,
+            orders=self.orders,
+            shuffle_key=shuffle_key,
+            stem_kernel=5,
+        )
+
+    def _attach(self, point: PointBatch, level: pyr.Level, feat, t_emb=None):
+        """Bind branch features to a pyramid level's geometry."""
+        return level.point.replace(feat=feat, t_emb=t_emb)
+
+    @nn.compact
+    def __call__(
+        self,
+        n_point: PointBatch,
+        c_point: Optional[PointBatch] = None,
+        t_emb: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        shuffle_key = (
+            self.make_rng("shuffle")
+            if (self.shuffle_orders and train and self.has_rng("shuffle"))
+            else None
+        )
+        levels, stem_nbr = self._pyramid(n_point, shuffle_key)
+        deterministic = not train
+
+        # ---- t embedding MLP (reference `:1594-1599,1771-1778`) ----
+        if self.condition and self.t_dim != -1 and t_emb is not None:
+            t = nn.Dense(4 * self.t_dim, dtype=self.dtype, name="fc_t1")(t_emb)
+            t = swish(t)
+            t = nn.Dense(self.t_dim, dtype=self.dtype, name="fc_t2")(t)
+            t = swish(t)
+        else:
+            t = None
+
+        # ---- embeddings ----
+        npt = self._attach(n_point, levels[0], n_point.feat)
+        npt = Embedding(
+            self.n_in_channels, self.n_enc_channels[0], dtype=self.dtype,
+            name="n_embedding",
+        )(npt, stem_nbr, train)
+
+        if self.condition:
+            assert c_point is not None
+            cpt = self._attach(c_point, levels[0], c_point.feat, t_emb=t)
+            cpt = Embedding(
+                self.c_in_channels, self.c_enc_channels[0], dtype=self.dtype,
+                name="c_embedding",
+            )(cpt, stem_nbr, train)
+            cpt = cpt.replace(t_emb=t)
+
+        # ---- n encoder ----
+        n_dp = list(np.linspace(0, self.drop_path, sum(self.n_enc_depths)))
+        n_skips = []
+        for s in range(len(self.n_enc_depths)):
+            if s > 0:
+                lo, hi = self.n_shifts[s - 1], self.n_shifts[s]
+                feat = PoolingProj(
+                    self.n_enc_channels[s - 1], self.n_enc_channels[s],
+                    dtype=self.dtype, name=f"n_enc{s}_down",
+                )(npt.feat, levels, lo, hi, levels[hi].point.mask, train)
+                npt = self._attach(None, levels[hi], feat)
+            for i in range(self.n_enc_depths[s]):
+                dp_i = n_dp[sum(self.n_enc_depths[:s]) + i]
+                npt = Block(
+                    channels=self.n_enc_channels[s],
+                    num_heads=self.n_enc_num_head[s],
+                    patch_size=self.n_enc_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    order_index=i % len(self.orders),
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
+                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    name=f"n_enc{s}_block{i}",
+                )(npt, deterministic)
+            if s < len(self.n_enc_depths) - 1:
+                n_skips.append(npt.feat)
+
+        # ---- c encoder ----
+        if self.condition:
+            c_dp = list(np.linspace(0, self.drop_path, sum(self.c_enc_depths)))
+            c_skips = []
+            for s in range(len(self.c_enc_depths)):
+                if s > 0:
+                    lo, hi = self.c_shifts[s - 1], self.c_shifts[s]
+                    feat = PoolingProj(
+                        self.c_enc_channels[s - 1], self.c_enc_channels[s],
+                        dtype=self.dtype, name=f"c_enc{s}_down",
+                    )(cpt.feat, levels, lo, hi, levels[hi].point.mask, train)
+                    # t_emb is pooled by head-gather through intermediate
+                    # levels (reference `:538`)
+                    t_lvl = None
+                    if t is not None:
+                        te = cpt.t_emb
+                        for l in range(lo + 1, hi + 1):
+                            te = pyr.pool_head_gather(te, levels[l])
+                        t_lvl = te
+                    cpt = self._attach(None, levels[hi], feat, t_emb=t_lvl)
+                for i in range(self.c_enc_depths[s]):
+                    dp_i = c_dp[sum(self.c_enc_depths[:s]) + i]
+                    cpt = Block(
+                        channels=self.c_enc_channels[s],
+                        num_heads=self.c_enc_num_head[s],
+                        patch_size=self.c_enc_patch_size[s],
+                        mlp_ratio=self.mlp_ratio,
+                        order_index=i % len(self.orders),
+                        qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                        proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
+                        t_dim=self.t_dim,
+                        upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                        name=f"c_enc{s}_block{i}",
+                    )(cpt, deterministic)
+                if s < len(self.c_enc_depths) - 1:
+                    c_skips.append(cpt.feat)
+
+            # ---- transfer module at the bottleneck (reference `:1714-1755`) ----
+            cpt, npt = TransferModule(
+                q_channels=self.n_enc_channels[-1],
+                kv_channels=self.c_enc_channels[-1],
+                q_num_heads=self.n_enc_num_head[-1],
+                kv_num_heads=self.c_enc_num_head[-1],
+                patch_size=self.n_enc_patch_size[-1],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                drop_path_rate=float(c_dp[2] if len(c_dp) > 2 else 0.0),
+                bidirectional=self.tm_bidirectional, tm_feat=self.tm_feat,
+                upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                name="tm_dec0",
+            )(cpt, npt, deterministic)
+
+        # ---- n decoder ----
+        n_dec_ch = list(self.n_dec_channels) + [self.n_enc_channels[-1]]
+        n_ddp = list(np.linspace(0, self.drop_path, sum(self.n_dec_depths)))
+        n_feat = npt.feat
+        for s in reversed(range(len(self.n_enc_depths) - 1)):
+            hi, lo = self.n_shifts[s + 1], self.n_shifts[s]
+            n_feat = UnpoolingProj(
+                n_dec_ch[s + 1], self.n_enc_channels[s], n_dec_ch[s],
+                mode=self.n_skip_mode, dtype=self.dtype, name=f"n_dec{s}_up",
+            )(n_feat, n_skips[s], levels, hi, lo, levels[lo].point.mask, train)
+            npt = self._attach(None, levels[lo], n_feat)
+            dp_slice = n_ddp[sum(self.n_dec_depths[:s]): sum(self.n_dec_depths[: s + 1])]
+            dp_slice = list(reversed(dp_slice))
+            for i in range(self.n_dec_depths[s]):
+                npt = Block(
+                    channels=n_dec_ch[s],
+                    num_heads=self.n_dec_num_head[s],
+                    patch_size=self.n_dec_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    order_index=i % len(self.orders),
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
+                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    name=f"n_dec{s}_block{i}",
+                )(npt, deterministic)
+            n_feat = npt.feat
+        n_logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="n_head")(
+            n_feat.astype(jnp.float32)
+        )
+
+        if not self.condition:
+            return npt.replace(feat=n_logits)
+
+        # ---- c decoder ----
+        c_dec_ch = list(self.c_dec_channels) + [self.c_enc_channels[-1]]
+        c_ddp = list(np.linspace(0, self.drop_path, sum(self.c_dec_depths)))
+        c_feat = cpt.feat
+        c_t = cpt.t_emb
+        for s in reversed(range(len(self.c_enc_depths) - 1)):
+            hi, lo = self.c_shifts[s + 1], self.c_shifts[s]
+            c_feat = UnpoolingProj(
+                c_dec_ch[s + 1], self.c_enc_channels[s], c_dec_ch[s],
+                mode=self.c_skip_mode, skip_scale=self.c_skip_scale,
+                dtype=self.dtype, name=f"c_dec{s}_up",
+            )(c_feat, c_skips[s], levels, hi, lo, levels[lo].point.mask, train)
+            if t is not None:
+                # decoder blocks re-inject t at this level; recompute by
+                # pooling the full-res t embedding down to `lo`
+                te = t
+                for l in range(1, lo + 1):
+                    te = pyr.pool_head_gather(te, levels[l])
+                c_t = te
+            cpt = self._attach(None, levels[lo], c_feat, t_emb=c_t)
+            dp_slice = c_ddp[sum(self.c_dec_depths[:s]): sum(self.c_dec_depths[: s + 1])]
+            dp_slice = list(reversed(dp_slice))
+            for i in range(self.c_dec_depths[s]):
+                cpt = Block(
+                    channels=c_dec_ch[s],
+                    num_heads=self.c_dec_num_head[s],
+                    patch_size=self.c_dec_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    order_index=i % len(self.orders),
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
+                    t_dim=self.t_dim,
+                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    name=f"c_dec{s}_block{i}",
+                )(cpt, deterministic)
+            c_feat = cpt.feat
+        c_out = nn.Dense(self.c_in_channels, dtype=jnp.float32, name="c_head")(
+            c_feat.astype(jnp.float32)
+        )
+        return cpt.replace(feat=c_out), npt.replace(feat=n_logits)

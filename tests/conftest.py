@@ -19,6 +19,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# This JAX build truncates f32 matmuls under default precision even on CPU;
+# pin true-f32 math so tests can compare against numpy references. Production
+# keeps the fast default (AMP-equivalent of the reference's fp16 autocast).
+jax.config.update("jax_default_matmul_precision", "float32")
+
 
 @pytest.fixture
 def rng():

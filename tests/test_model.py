@@ -1,0 +1,153 @@
+"""End-to-end model tests on a tiny dual-branch config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdsegnet_tpu.models.builder import build_model
+from cdsegnet_tpu.models.losses import Criteria
+from cdsegnet_tpu.models.segmentor import CNFSegmentor
+from helpers import synthetic_batch
+
+TINY_BACKBONE = dict(
+    type="PT-v3m1",
+    c_in_channels=6,
+    n_in_channels=6,
+    order=("z", "z-trans", "hilbert", "hilbert-trans"),
+    c_stride=(4, 4),
+    c_enc_depths=(1, 1, 1),
+    c_enc_channels=(8, 16, 16),
+    c_enc_num_head=(1, 2, 2),
+    c_enc_patch_size=(64, 64, 64),
+    c_dec_depths=(1, 1),
+    c_dec_channels=(8, 8),
+    c_dec_num_head=(1, 1),
+    c_dec_patch_size=(64, 64),
+    n_stride=(2, 2, 2, 2),
+    n_enc_depths=(1, 1, 1, 1, 1),
+    n_enc_channels=(8, 16, 16, 16, 16),
+    n_enc_num_head=(1, 2, 2, 2, 2),
+    n_enc_patch_size=(64, 64, 64, 64, 64),
+    n_dec_depths=(1, 1, 1, 1),
+    n_dec_channels=(8, 8, 16, 16),
+    n_dec_num_head=(1, 1, 2, 2),
+    n_dec_patch_size=(64, 64, 64, 64),
+    mlp_ratio=2,
+    drop_path=0.1,
+    num_classes=5,
+    T_dim=16,
+    condition=True,
+    skip_connection_mode="cat",
+    skip_connection_scale=True,
+    capacity_div=(1, 2, 4, 8, 8),
+)
+
+TINY_MODEL = dict(
+    type="DefaultSegmentorV2",
+    backbone=TINY_BACKBONE,
+    num_classes=5,
+    T=50,
+    beta_start=0,
+    beta_end=1000,
+    noise_schedule="cosine",
+    T_dim=16,
+    dm=True,
+    dm_input="xt",
+    dm_target="noise",
+    condition=True,
+    c_in_channels=6,
+)
+
+RNGS = dict(
+    params=jax.random.PRNGKey(0),
+    dropout=jax.random.PRNGKey(1),
+    shuffle=jax.random.PRNGKey(2),
+    diffusion=jax.random.PRNGKey(3),
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    rng = np.random.RandomState(0)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    model = build_model(TINY_MODEL)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    return model, variables, pt
+
+
+def test_train_forward_shapes(model_and_vars):
+    model, variables, pt = model_and_vars
+    out, mutated = jax.jit(
+        lambda v, p: model.apply(v, p, train=True, rngs=RNGS, mutable=["batch_stats"])
+    )(variables, pt)
+    assert out["n_pred"].shape == (256, 5)
+    assert out["c_pred"].shape == (256, 6)
+    assert out["c_target"].shape == (256, 6)
+    assert out["n_pred"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["n_pred"])).all()
+    assert np.isfinite(np.asarray(out["c_pred"])).all()
+    assert "batch_stats" in mutated
+
+
+def test_ssi_inference(model_and_vars):
+    model, variables, pt = model_and_vars
+    out = jax.jit(
+        lambda v, p: model.apply(
+            v, p, method=CNFSegmentor.inference,
+            rngs=dict(diffusion=jax.random.PRNGKey(7)),
+        )
+    )(variables, pt)
+    assert out["seg_logits"].shape == (256, 5)
+    assert np.isfinite(np.asarray(out["seg_logits"])).all()
+
+
+def test_loss_and_grads(model_and_vars):
+    model, variables, pt = model_and_vars
+    criteria = Criteria(
+        [
+            dict(type="MSELoss", loss_weight=1.0),
+            dict(type="CrossEntropyLoss", loss_weight=1.0),
+            dict(type="LovaszLoss", loss_weight=1.0),
+        ],
+        loss_type="GLS",
+        task_num=2,
+    )
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        return criteria(out, mode="train")
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # at least some gradient signal in both branches
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    c_norm = sum(
+        float(jnp.abs(g).sum()) for p, g in flat if "c_enc" in jax.tree_util.keystr(p)
+    )
+    n_norm = sum(
+        float(jnp.abs(g).sum()) for p, g in flat if "n_enc" in jax.tree_util.keystr(p)
+    )
+    assert c_norm > 0 and n_norm > 0
+
+
+def test_no_float64_params(model_and_vars):
+    _, variables, _ = model_and_vars
+    for leaf in jax.tree_util.tree_leaves(variables):
+        assert leaf.dtype != jnp.float64, leaf.dtype
+
+
+def test_plain_ptv3(model_and_vars):
+    _, _, pt = model_and_vars
+    bb = dict(TINY_BACKBONE)
+    bb["condition"] = False
+    model = build_model(dict(type="DefaultSegmentor", backbone=bb))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+    assert out["n_pred"].shape == (256, 5)
+    assert np.isfinite(np.asarray(out["n_pred"])).all()
