@@ -1,0 +1,193 @@
+"""Testers: TTA fragment-voting semantic-segmentation evaluation.
+
+Reference `pointcept/engines/test.py:34-591`: per scene, every TTA
+augmentation is grid-sampled into fragments; each fragment gets one SSI
+forward (or a DDIM loop for MSAI/MSFI); softmax votes accumulate into the
+full-resolution prediction; mIoU is computed against full-res labels and
+benchmark submission files are written.
+
+TPU adaptations: fragments are padded into a small set of static buckets so
+each bucket size compiles once; votes accumulate host-side in numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdsegnet_tpu.data.collate import collate_scenes, pick_bucket
+from cdsegnet_tpu.data.datasets import build_dataset
+from cdsegnet_tpu.engine.state import batch_to_point
+from cdsegnet_tpu.models.builder import build_model
+from cdsegnet_tpu.models.segmentor import CNFSegmentor, PlainSegmentor
+from cdsegnet_tpu.utils.logger import get_root_logger
+from cdsegnet_tpu.utils.misc import intersection_and_union
+from cdsegnet_tpu.utils.registry import Registry
+
+TESTERS = Registry("testers")
+
+DEFAULT_BUCKETS = tuple(1024 * (1 << i) for i in range(4, 11))  # 16k..1M
+
+
+@TESTERS.register_module("SemSegTester")
+class SemSegTester:
+    def __init__(self, cfg, state=None, model=None, verbose: bool = True):
+        self.cfg = cfg
+        self.logger = get_root_logger(name="cdsegnet_tpu.test")
+        self.verbose = verbose
+        self.model = model if model is not None else build_model(dict(cfg.model))
+        self.state = state
+        self.depth = cfg.get("serialization_depth", 16)
+        self.buckets = tuple(cfg.get("test_buckets", DEFAULT_BUCKETS))
+        self.inference_mode = cfg.get("inference_mode", "SSI")
+        self.inference_step = cfg.get("inference_step", 1)
+        self.noise_level = cfg.get("noise_level", None)
+        self.save_path = cfg.get("save_path", "exp/default")
+        self._jit_cache: Dict[int, callable] = {}
+
+    # -- jitted per-bucket SSI forward ------------------------------------
+    def _infer_fn(self, n: int):
+        if n in self._jit_cache:
+            return self._jit_cache[n]
+        model = self.model
+
+        @jax.jit
+        def fn(variables, batch, noise):
+            point = batch_to_point(batch, self.depth, 1)
+            if isinstance(model, PlainSegmentor):
+                out = model.apply(variables, point, train=False)
+                return out["n_pred"]
+            return model.apply(
+                variables, point, noise, method=CNFSegmentor.inference
+            )["seg_logits"]
+
+        self._jit_cache[n] = fn
+        return fn
+
+    def _variables(self):
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+    def predict_fragment(self, frag: Dict, rng: jax.Array) -> np.ndarray:
+        """Softmax probabilities for one fragment (n_frag, num_classes)."""
+        n_frag = frag["coord"].shape[0]
+        bucket = pick_bucket(n_frag, self.buckets)
+        batch = collate_scenes([frag], bucket, 1)
+        if self.noise_level is not None:
+            # robustness protocol: gaussian-perturbed features
+            noise_rng, rng = jax.random.split(rng)
+            batch["feat"] = batch["feat"] + self.noise_level * np.asarray(
+                jax.random.normal(noise_rng, batch["feat"].shape)
+            )
+        c_in = getattr(self.model, "c_in_channels", batch["feat"].shape[-1])
+        noise = jax.random.normal(rng, (bucket, c_in), jnp.float32)
+        if self.inference_mode == "SSI":
+            logits = self._infer_fn(bucket)(self._variables(), batch, noise)
+        else:  # MSAI / MSFI via DDIM loop
+            from cdsegnet_tpu.models.segmentor import inference_ddim
+
+            point = batch_to_point(
+                jax.tree_util.tree_map(jnp.asarray, batch), self.depth, 1
+            )
+            logits = inference_ddim(
+                self.model, self._variables(), point, rng,
+                step=self.inference_step,
+                mode="avg" if self.inference_mode == "MSAI" else "final",
+            )
+        probs = jax.nn.softmax(np.asarray(logits)[:n_frag], axis=-1)
+        return np.asarray(probs)
+
+    def test(self) -> Optional[float]:
+        cfg = self.cfg
+        ds = build_dataset(dict(cfg.data.test))
+        num_classes = cfg.data.num_classes
+        save_dir = os.path.join(self.save_path, "result")
+        os.makedirs(save_dir, exist_ok=True)
+        inter_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        np_rng = np.random.default_rng(cfg.get("seed", 0))
+        records = {}
+        for idx in range(len(ds)):
+            scene = ds.get(idx, np_rng)
+            name = scene["name"]
+            segment = scene["segment"]
+            cache = os.path.join(save_dir, f"{name}_pred.npy")
+            if os.path.isfile(cache):
+                pred = np.load(cache)
+            else:
+                votes = np.zeros((segment.size, num_classes), np.float32)
+                for frag in scene["fragment_list"]:
+                    rng, sub = jax.random.split(rng)
+                    probs = self.predict_fragment(frag, sub)
+                    votes[frag["index"]] += probs
+                pred = votes.argmax(-1)
+                np.save(cache, pred)
+            i, u, t = intersection_and_union(
+                pred, segment, num_classes, cfg.get("ignore_index", -1)
+            )
+            inter_sum += i
+            union_sum += u
+            target_sum += t
+            miou_scene = float(np.mean(i / np.maximum(u, 1)))
+            records[name] = dict(intersection=i, union=u, target=t)
+            if self.verbose:
+                self.logger.info(
+                    f"Test [{idx + 1}/{len(ds)}] {name}: scene mIoU {miou_scene:.4f}"
+                )
+            if cfg.get("submission", False):
+                self.write_submission(ds, name, pred)
+        iou = inter_sum / np.maximum(union_sum, 1)
+        acc = inter_sum / np.maximum(target_sum, 1)
+        miou = float(iou.mean())
+        names = cfg.data.get("names", [str(i) for i in range(num_classes)])
+        for n, v in zip(names, iou):
+            self.logger.info(f"Class {n}: iou {v:.4f}")
+        self.logger.info(
+            f"Test result: mIoU {miou:.4f} mAcc {float(acc.mean()):.4f} "
+            f"allAcc {inter_sum.sum() / max(target_sum.sum(), 1):.4f}"
+        )
+        return miou
+
+    def write_submission(self, ds, name: str, pred: np.ndarray):
+        """Benchmark submission files (reference `test.py:329-370`)."""
+        sub_dir = os.path.join(self.save_path, "submit")
+        os.makedirs(sub_dir, exist_ok=True)
+        class2id = getattr(ds, "class2id", None)
+        dataset_type = self.cfg.data.test.get("type", "")
+        if "ScanNet" in dataset_type and class2id is not None:
+            np.savetxt(
+                os.path.join(sub_dir, f"{name}.txt"),
+                class2id[pred].reshape(-1, 1), fmt="%d",
+            )
+        elif "Nu" in dataset_type:
+            # nuScenes lidarseg: uint8 labels in original 32-class space
+            inv = np.zeros(17, np.uint8)
+            for raw, learn in ds.learning_map.items():
+                if learn >= 0 and inv[learn] == 0:
+                    inv[learn] = raw
+            (pred.astype(np.uint8)).tofile(
+                os.path.join(sub_dir, f"{name}_lidarseg.bin")
+            )
+        elif "Kitti" in dataset_type.replace("KITTI", "Kitti"):
+            pred.astype(np.uint32).tofile(
+                os.path.join(sub_dir, f"{name}.label")
+            )
+
+
+@TESTERS.register_module("ClsTester")
+class ClsTester:
+    """Classification tester placeholder (reference `test.py:420-480`);
+    the classifier model family lands with the model-zoo expansion."""
+
+    def __init__(self, cfg, **kw):
+        raise NotImplementedError(
+            "Classification testing arrives with the cls model family."
+        )

@@ -122,6 +122,10 @@ class Trainer:
             tx = optax.chain(clip_by_keyword(clip_kw, 0.1), tx)
         self.tx = tx
         self.state = TrainState.create(variables, tx, rng)
+        if self.mesh is not None:
+            from cdsegnet_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(self.mesh))
         self.ckpt_manager = CheckpointManager(os.path.join(self.save_path, "model"))
 
         self.train_step = make_train_step(

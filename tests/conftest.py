@@ -1,12 +1,16 @@
-"""Test configuration: run on an 8-device virtual CPU mesh.
+"""Test configuration.
 
-Must set the env vars before importing jax (cdsegnet_tpu imports jax).
+The container's sitecustomize registers the axon TPU PJRT plugin at
+interpreter start, locking the *default* backend before conftest runs. We
+don't fight it: tests run on whatever the default backend is, and tests that
+need a multi-device mesh use the CPU backend explicitly — `XLA_FLAGS` is set
+here *before* the CPU client is first initialized, so `jax.devices("cpu")`
+yields 8 virtual devices in any environment.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,10 +23,16 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# This JAX build truncates f32 matmuls under default precision even on CPU;
-# pin true-f32 math so tests can compare against numpy references. Production
-# keeps the fast default (AMP-equivalent of the reference's fp16 autocast).
+# This JAX build truncates f32 matmuls under default precision; pin true-f32
+# math so tests can compare against numpy references. Production keeps the
+# fast default (AMP-equivalent of the reference's fp16 autocast).
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def cpu_devices(n: int = 8):
+    devs = jax.devices("cpu")
+    assert len(devs) >= n, f"need {n} cpu devices, got {len(devs)}"
+    return devs[:n]
 
 
 @pytest.fixture

@@ -1,0 +1,90 @@
+"""Loss parity tests (golden values from the reference torch implementation)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cdsegnet_tpu.models.losses import (
+    Criteria,
+    cross_entropy_loss,
+    dice_loss,
+    focal_loss,
+    lovasz_softmax_loss,
+    masked_mean,
+    mse_loss,
+)
+
+GOLDEN = json.load(open(os.path.join(os.path.dirname(__file__), "golden_losses.json")))
+
+
+def _golden_inputs():
+    logits = jnp.asarray(np.array(GOLDEN["logits"], np.float32))
+    labels = jnp.asarray(np.array(GOLDEN["labels"], np.int32))
+    valid = labels >= 0
+    return logits, labels, valid
+
+
+def test_cross_entropy_golden():
+    logits, labels, valid = _golden_inputs()
+    got = float(cross_entropy_loss(logits, labels, valid))
+    np.testing.assert_allclose(got, GOLDEN["ce"], rtol=1e-5)
+
+
+def test_lovasz_golden():
+    logits, labels, valid = _golden_inputs()
+    got = float(lovasz_softmax_loss(logits, labels, valid))
+    np.testing.assert_allclose(got, GOLDEN["lovasz"], rtol=1e-5)
+
+
+def test_lovasz_ignores_invalid(rng):
+    logits, labels, valid = _golden_inputs()
+    # corrupting invalid rows must not change the loss
+    big = jnp.where(valid[:, None], logits, 1e3)
+    a = float(lovasz_softmax_loss(logits, labels, valid))
+    b = float(lovasz_softmax_loss(big, labels, valid))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_mse_masked(rng):
+    pred = jnp.asarray(rng.randn(50, 6).astype(np.float32))
+    target = jnp.asarray(rng.randn(50, 6).astype(np.float32))
+    valid = jnp.asarray(np.arange(50) < 30)
+    got = float(mse_loss(pred, target, valid))
+    want = float(np.mean((np.asarray(pred)[:30] - np.asarray(target)[:30]) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gls_combiner(rng):
+    logits, labels, valid = _golden_inputs()
+    out = dict(
+        c_pred=jnp.asarray(rng.randn(200, 6).astype(np.float32)),
+        c_target=jnp.asarray(rng.randn(200, 6).astype(np.float32)),
+        n_pred=logits,
+        n_target=labels,
+        seg_valid=valid,
+    )
+    crit = Criteria(
+        [
+            dict(type="MSELoss", loss_weight=1.0),
+            dict(type="CrossEntropyLoss", loss_weight=1.0),
+            dict(type="LovaszLoss", loss_weight=1.0),
+        ],
+        loss_type="GLS",
+        task_num=2,
+    )
+    gls = float(crit(out, mode="train"))
+    mse = float(mse_loss(out["c_pred"], out["c_target"], valid))
+    ce = float(cross_entropy_loss(logits, labels, valid))
+    lv = float(lovasz_softmax_loss(logits, labels, valid))
+    np.testing.assert_allclose(gls, np.sqrt(mse * (ce + lv)), rtol=1e-5)
+    # eval mode sums terms (EW)
+    ew = float(crit(out, mode="eval"))
+    np.testing.assert_allclose(ew, mse + ce + lv, rtol=1e-5)
+
+
+def test_focal_dice_finite(rng):
+    logits, labels, valid = _golden_inputs()
+    assert np.isfinite(float(focal_loss(logits, labels, valid)))
+    assert np.isfinite(float(dice_loss(logits, labels, valid)))
