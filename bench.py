@@ -30,9 +30,15 @@ BASELINE_PTS_PER_SEC_PER_CHIP = 266_000.0
 
 
 def main():
-    num_points = int(104448)  # 102 * 1024, ~ScanNet scene after grid sample
+    import os
+
+    num_points = int(os.environ.get("BENCH_POINTS", 104448))  # ~ScanNet scene
     patch = 1024
-    model = build_model(_flagship_cfg(num_points, patch, scale=1))
+    cfg = _flagship_cfg(num_points, patch, scale=1)
+    attn = os.environ.get("CDSEG_ATTENTION")  # "pallas" | "xla" | unset=auto
+    if attn:
+        cfg["backbone"]["use_pallas"] = attn == "pallas"
+    model = build_model(cfg)
     point = _synthetic_point_batch(num_points, 1, depth=10, seed=0)
     n_real = int(np.asarray(point.mask).sum())
 

@@ -56,10 +56,13 @@ class SerializedAttention(nn.Module):
     qk_scale: Optional[float] = None
     proj_drop: float = 0.0
     upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, point: PointBatch, deterministic: bool = True):
+        from cdsegnet_tpu.ops.pallas.flash_attention import attention_impl
+
         c, h = self.channels, self.num_heads
         d = c // h
         n = point.num_points
@@ -74,7 +77,8 @@ class SerializedAttention(nn.Module):
         q, kk, v = qkv_s[:, 0], qkv_s[:, 1], qkv_s[:, 2]
         bs = jnp.take(point.batch, order)
         ms = jnp.take(point.mask, order)
-        out = patch_attention(
+        attn_fn = attention_impl(self.use_pallas)
+        out = attn_fn(
             q, kk, v, bs, ms, k, scale, upcast_softmax=self.upcast_softmax
         )
         feat = jnp.take(out.reshape(n, c), inverse, axis=0)
@@ -98,6 +102,7 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     t_dim: int = -1
     upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,6 +132,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale,
             proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(point.replace(feat=f), deterministic).feat
@@ -470,6 +476,7 @@ class PointTransformerV3(nn.Module):
 
     num_classes: int = 20
     t_dim: int = 128
+    use_pallas: Optional[bool] = None
     condition: bool = False
     tm_bidirectional: bool = False
     tm_feat: object = 1.0
@@ -611,7 +618,8 @@ class PointTransformerV3(nn.Module):
                         qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                         proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
                         t_dim=self.t_dim,
-                        upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                        upcast_softmax=self.upcast_softmax,
+                        use_pallas=self.use_pallas, dtype=self.dtype,
                         name=f"c_enc{s}_block{i}",
                     )(cpt, deterministic)
                 if s < len(self.c_enc_depths) - 1:
@@ -654,7 +662,8 @@ class PointTransformerV3(nn.Module):
                     order_index=i % len(self.orders),
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
-                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    upcast_softmax=self.upcast_softmax,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"n_dec{s}_block{i}",
                 )(npt, deterministic)
             n_feat = npt.feat
@@ -697,7 +706,8 @@ class PointTransformerV3(nn.Module):
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
                     t_dim=self.t_dim,
-                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    upcast_softmax=self.upcast_softmax,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"c_dec{s}_block{i}",
                 )(cpt, deterministic)
             c_feat = cpt.feat

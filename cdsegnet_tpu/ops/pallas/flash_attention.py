@@ -34,17 +34,19 @@ def _attn_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
-        q * scale, k,
+        q * jnp.float32(scale), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (K, K)
-    b = b_ref[0]  # (K,) int32 scene ids
-    valid = m_ref[0]  # (K,) int32 0/1
+    b = b_ref[0, 0]  # (K,) int32 scene ids
+    valid = m_ref[0, 0]  # (K,) int32 0/1
     allowed = (b[:, None] == b[None, :]) & (valid[None, :] > 0)
-    s = jnp.where(allowed, s, NEG)
+    s = jnp.where(allowed, s, jnp.float32(NEG))
     mx = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - mx)
-    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    den = jnp.maximum(
+        jnp.sum(e, axis=-1, keepdims=True), jnp.float32(1e-20)
+    )
     p = (e / den).astype(v.dtype)
     o_ref[0, 0] = jax.lax.dot_general(
         p, v,
@@ -60,20 +62,33 @@ def _flash_fwd(q, k, v, batch_sorted, valid_sorted, patch_size, scale, interpret
     qp = q.reshape(p, kk, h, d).transpose(0, 2, 1, 3)  # (P, H, K, D)
     kp = k.reshape(p, kk, h, d).transpose(0, 2, 1, 3)
     vp = v.reshape(p, kk, h, d).transpose(0, 2, 1, 3)
-    bp = batch_sorted.reshape(p, kk).astype(jnp.int32)
-    mp = valid_sorted.reshape(p, kk).astype(jnp.int32)
+    bp = batch_sorted.reshape(p, 1, kk).astype(jnp.int32)
+    mp = valid_sorted.reshape(p, 1, kk).astype(jnp.int32)
 
     grid = (p, h)
     blk = lambda: pl.BlockSpec(
         (1, 1, kk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    bblk = pl.BlockSpec((1, kk), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec(
+        (1, 1, kk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # The framework enables x64 globally (serialization codes are int64), but
+    # Mosaic cannot legalize the i64 trace-time constants that x64 injects
+    # into grid index maps; all kernel operands are <=32-bit, so trace the
+    # pallas_call with x64 off.
+    with jax.enable_x64(False):
+        return _call(grid, bblk, blk, p, h, kk, d, scale, interpret,
+                     bp, mp, qp, kp, vp, v.dtype, n)
+
+
+def _call(grid, bblk, blk, p, h, kk, d, scale, interpret, bp, mp, qp, kp, vp,
+          out_dtype, n):
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[bblk, bblk, blk(), blk(), blk()],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((p, h, kk, d), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((p, h, kk, d), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * kk * kk * d * p * h,
