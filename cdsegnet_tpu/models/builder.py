@@ -90,5 +90,48 @@ def build_plain_segmentor(backbone: Dict[str, Any], **cfg: Any) -> PlainSegmento
     return PlainSegmentor(backbone=build_model(backbone))
 
 
+def _build_ablation(cls):
+    def factory(backbone: Dict[str, Any], **cfg: Any):
+        bb = build_model(backbone)
+        keep = {
+            "num_classes", "T", "beta_start", "beta_end", "noise_schedule",
+            "dm", "dm_input", "dm_target", "dm_min_snr", "condition",
+            "c_in_channels",
+        }
+        kwargs = {k: v for k, v in cfg.items() if k in keep}
+        kwargs["t_dim"] = cfg.get("T_dim", 128)
+        return cls(backbone=bb, **kwargs)
+
+    return factory
+
+
+def _register_ablations():
+    from cdsegnet_tpu.models.ablation_segmentors import (
+        CCDMSegmentor,
+        CDDMSegmentor,
+        ContinuousDMSegmentor,
+        DefaultClassifier,
+        DiscreteDMSegmentor,
+        DMSegmentor,
+    )
+
+    for cls in (
+        ContinuousDMSegmentor, CCDMSegmentor, DiscreteDMSegmentor,
+        CDDMSegmentor, DMSegmentor,
+    ):
+        MODELS.register_module(cls.__name__, _build_ablation(cls))
+
+    def classifier_factory(backbone: Dict[str, Any], **cfg: Any):
+        return DefaultClassifier(
+            backbone=build_model(backbone),
+            num_classes=cfg.get("num_classes", 40),
+        )
+
+    MODELS.register_module("DefaultClassifier", classifier_factory)
+
+
+_register_ablations()
+
+
 def build_model(cfg: Dict[str, Any]):
     return MODELS.build(cfg)

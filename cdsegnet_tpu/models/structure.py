@@ -189,7 +189,9 @@ def build_neighbor_table(
         depth=depth,
         order="z",
     ).reshape(n, k)
-    pos = jnp.searchsorted(sorted_keys, q_keys)
+    # method="sort" lowers to one co-sort instead of a per-query binary-search
+    # while loop (the scan lowering costs seconds at 100k x 27 queries on TPU)
+    pos = jnp.searchsorted(sorted_keys, q_keys, method="sort")
     pos = jnp.clip(pos, 0, n - 1)
     found = (jnp.take(sorted_keys, pos) == q_keys) & in_range & mask[:, None]
     neighbor = jnp.where(found, jnp.take(sort_idx, pos), n)

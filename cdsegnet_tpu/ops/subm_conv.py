@@ -41,15 +41,14 @@ def subm_conv_apply(
     assert weight.shape[0] == k, (weight.shape, k)
     c_out = weight.shape[2]
     guard = jnp.concatenate([feat, jnp.zeros((1, c_in), feat.dtype)], axis=0)
-
-    def body(i, acc):
-        g = jnp.take(guard, neighbor_idx[:, i], axis=0)  # (N, C_in)
-        w = jax.lax.dynamic_index_in_dim(weight, i, axis=0, keepdims=False)
-        return acc + jnp.dot(g, w.astype(feat.dtype), preferred_element_type=accum_dtype)
-
-    acc = jnp.zeros((n, c_out), accum_dtype)
-    acc = jax.lax.fori_loop(0, k, body, acc)
-    out = acc.astype(feat.dtype)
+    # One gather of all K offsets + one MXU matmul. A loop over offsets would
+    # serialize K small gathers (each HBM-latency-bound); the fused form lets
+    # XLA pipeline the gather and runs a single (N, K*C_in) @ (K*C_in, C_out)
+    # contraction at full MXU utilization.
+    g = jnp.take(guard, neighbor_idx.reshape(-1), axis=0)  # (N*K, C_in)
+    g = g.reshape(n, k * c_in)
+    w = weight.reshape(k * c_in, c_out).astype(feat.dtype)
+    out = jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat.dtype)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out

@@ -1,0 +1,169 @@
+# CDSegNet on nuScenes lidarseg (16 classes, outdoor LiDAR).
+# Reference recipe (configs/nuscenes/CDSegNet.py): 50 epochs, wd 0.005,
+# pct_start 0.1, linear betas in [0.001, 0.005] (x1000 scale -> 1..5),
+# c/n in-channels 4 (coord + strength), grid 0.05 m.
+_base_ = ["../_base_/default_runtime.py"]
+
+scenes_per_device = 2
+num_points_per_scene = 102400
+bucket_num_points = scenes_per_device * num_points_per_scene
+mix_prob = 0.8
+seed = 54421566
+gredient_clip = []
+ignore_index = -1
+feat_dim = 4
+
+condition = True
+dm = True
+dm_input = "xt"
+dm_target = "noise"
+dm_min_snr = None
+T = 1000
+T_dim = 128
+beta_start = 0.001
+beta_end = 0.005
+noise_schedule = "linear"
+c_in_channels = 4
+
+loss_type = "GLS"
+task_num = 2
+num_classes = 16
+
+model = dict(
+    type="DefaultSegmentorV2",
+    backbone=dict(
+        type="PT-v3m1",
+        c_in_channels=c_in_channels,
+        n_in_channels=4,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        c_stride=(4, 4),
+        c_enc_depths=(2, 2, 2),
+        c_enc_channels=(32, 64, 128),
+        c_enc_num_head=(2, 4, 8),
+        c_enc_patch_size=(1024, 1024, 1024),
+        c_dec_depths=(2, 2),
+        c_dec_channels=(64, 64),
+        c_dec_num_head=(4, 4),
+        c_dec_patch_size=(1024, 1024),
+        n_stride=(2, 2, 2, 2),
+        n_enc_depths=(2, 2, 2, 6, 6),
+        n_enc_channels=(32, 64, 128, 256, 512),
+        n_enc_num_head=(2, 4, 8, 16, 32),
+        n_enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        n_dec_depths=(2, 2, 2, 2),
+        n_dec_channels=(64, 64, 128, 256),
+        n_dec_num_head=(4, 4, 8, 16),
+        n_dec_patch_size=(1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        drop_path=0.3,
+        upcast_softmax=False,
+        num_classes=num_classes,
+        T_dim=T_dim,
+        condition=condition,
+        skip_connection_mode="cat",
+        skip_connection_scale=True,
+        capacity_div=(1, 2, 4, 16, 64),
+        dtype="bfloat16",
+    ),
+    criteria=[
+        dict(type="MSELoss", loss_weight=1.0, ignore_index=ignore_index),
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=ignore_index),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0,
+             ignore_index=ignore_index),
+    ],
+    loss_type=loss_type,
+    task_num=task_num,
+    num_classes=num_classes,
+    T=T,
+    beta_start=beta_start,
+    beta_end=beta_end,
+    noise_schedule=noise_schedule,
+    T_dim=T_dim,
+    dm=dm,
+    dm_input=dm_input,
+    dm_target=dm_target,
+    dm_min_snr=dm_min_snr,
+    condition=condition,
+    c_in_channels=c_in_channels,
+)
+
+epoch = 50
+eval_epoch = 50
+
+optimizer = dict(type="AdamW", lr=0.002, weight_decay=0.005)
+scheduler = dict(
+    type="OneCycleLR",
+    pct_start=0.1,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=100.0,
+)
+param_dicts = [dict(keyword="block", lr=0.0002)]
+
+dataset_type = "NuScenesDataset"
+data_root = "data/nuscenes"
+
+_train_transform = [
+    dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+    dict(type="RandomScale", scale=[0.9, 1.1]),
+    dict(type="RandomFlip", p=0.5),
+    dict(type="RandomJitter", sigma=0.005, clip=0.02),
+    dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+         return_grid_coord=True, keys=("coord", "strength", "segment")),
+    dict(type="SphereCrop", point_max=num_points_per_scene, mode="random"),
+    dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+         feat_keys=("coord", "strength")),
+]
+
+_val_transform = [
+    dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+         return_grid_coord=True, keys=("coord", "strength", "segment")),
+    dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+         feat_keys=("coord", "strength")),
+]
+
+data = dict(
+    num_classes=num_classes,
+    ignore_index=ignore_index,
+    names=[
+        "barrier", "bicycle", "bus", "car", "construction_vehicle",
+        "motorcycle", "pedestrian", "traffic_cone", "trailer", "truck",
+        "driveable_surface", "other_flat", "sidewalk", "terrain", "manmade",
+        "vegetation",
+    ],
+    train=dict(
+        type=dataset_type,
+        split="train",
+        data_root=data_root,
+        transform=_train_transform,
+        test_mode=False,
+    ),
+    val=dict(
+        type=dataset_type,
+        split="val",
+        data_root=data_root,
+        transform=_val_transform,
+        test_mode=False,
+    ),
+    test=dict(
+        type=dataset_type,
+        split="val",
+        data_root=data_root,
+        transform=[],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                          mode="test", keys=("coord", "strength"),
+                          return_grid_coord=True),
+            crop=None,
+            post_transform=[
+                dict(type="Collect", keys=("coord", "grid_coord", "index"),
+                     feat_keys=("coord", "strength")),
+            ],
+            aug_transform=[
+                [dict(type="RandomRotateTargetAngle", angle=[0], axis="z",
+                      center=[0, 0, 0], p=1)],
+            ],
+        ),
+    ),
+)
