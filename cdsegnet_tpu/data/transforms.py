@@ -411,7 +411,12 @@ class GridSample:
                  return_inverse=False, return_grid_coord=False,
                  return_min_coord=False):
         self.grid_size = grid_size
-        self.hash = fnv_hash_vec if hash_type == "fnv" else ravel_hash_vec
+        if hash_type == "fnv":
+            from cdsegnet_tpu.data.native import fnv_hash  # C when built
+
+            self.hash = fnv_hash
+        else:
+            self.hash = ravel_hash_vec
         assert mode in ("train", "test")
         self.mode = mode
         self.keys = keys
