@@ -63,7 +63,8 @@ def build_level0(
 ) -> Level:
     pt = serialize(point, orders=orders, shuffle_key=shuffle_key)
     nbr = build_neighbor_table(
-        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=cpe_kernel
+        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
+        kernel_size=cpe_kernel, num_scenes=pt.num_scenes,
     )
     return Level(point=pt.replace(neighbor_idx=nbr))
 
@@ -114,6 +115,45 @@ def build_pooled_level(
         jnp.zeros((mp,), jnp.int32).at[sort0].set(seg_c)
     )
 
+    # ------------------------------------------------------------------
+    # Sort-free child serialization. Space-filling curves have the prefix
+    # property: the parent's sorted order restricted to cluster heads IS
+    # the child's sorted order for the same curve. So for every curve we
+    # derive the child order/inverse by a run-length rank (cumsum) over the
+    # parent's sorted keys plus two scatters — no argsort at pooled levels
+    # (the reference re-sorts codes per branch per level, `:492-499`).
+    # ------------------------------------------------------------------
+    n_orders = pp.codes.shape[0]
+    big = jnp.int64(jnp.iinfo(jnp.int64).max)
+
+    def derive(o):
+        sort_o = pp.orders[o]
+        ks = (pp.codes[o] >> (3 * pd))[sort_o]  # non-decreasing
+        flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), (ks[1:] != ks[:-1]).astype(jnp.int32)]
+        )
+        rank = jnp.cumsum(flag) - 1  # cluster rank along this curve
+        rank = jnp.minimum(rank, m - 1).astype(jnp.int32)
+        n_clusters = rank[-1] + 1
+        slots = jnp.take(parent_inverse, sort_o)  # cluster slot per position
+        rank_of_slot = jnp.zeros((m,), jnp.int32).at[slots].set(rank)
+        used = jnp.zeros((m,), jnp.int32).at[slots].set(1)
+        unused_pos = n_clusters + jnp.cumsum(1 - used) - 1
+        inverse = jnp.where(used == 1, rank_of_slot, unused_pos)
+        inverse = jnp.minimum(inverse, m - 1).astype(jnp.int32)
+        order = jnp.zeros((m,), jnp.int32).at[inverse].set(
+            jnp.arange(m, dtype=jnp.int32)
+        )
+        code = jnp.where(
+            used == 1, jnp.take(pp.codes[o], head_parent) >> (3 * pd), big
+        )
+        return code, order, inverse
+
+    codes, order, inverse = jax.vmap(derive)(jnp.arange(n_orders))
+    if shuffle_key is not None:
+        perm = jax.random.permutation(shuffle_key, n_orders)
+        codes, order, inverse = codes[perm], order[perm], inverse[perm]
+
     child = PointBatch(
         coord=coord,
         grid_coord=grid,
@@ -121,13 +161,15 @@ def build_pooled_level(
         mask=new_mask,
         batch=batch,
         segment=None,
+        codes=codes,
+        orders=order,
+        inverses=inverse,
         depth=pp.depth - pd,
         num_scenes=pp.num_scenes,
     )
-    child = serialize(child, orders=orders, shuffle_key=shuffle_key)
     nbr = build_neighbor_table(
         child.grid_coord, child.batch, child.mask, depth=child.depth,
-        kernel_size=cpe_kernel,
+        kernel_size=cpe_kernel, num_scenes=child.num_scenes,
     )
     child = child.replace(neighbor_idx=nbr)
     return Level(
@@ -155,10 +197,15 @@ def build_pyramid(
         else [None] * (len(strides) + 1)
     )
     lvl0 = build_level0(point, orders, keys[0])
-    stem_nbr = build_neighbor_table(
-        point.grid_coord, point.batch, point.mask, depth=point.depth,
-        kernel_size=stem_kernel,
-    )
+    if stem_kernel == 5:
+        from cdsegnet_tpu.models.structure import compose_k5_table
+
+        stem_nbr = compose_k5_table(lvl0.point.neighbor_idx)
+    else:
+        stem_nbr = build_neighbor_table(
+            point.grid_coord, point.batch, point.mask, depth=point.depth,
+            kernel_size=stem_kernel, num_scenes=point.num_scenes,
+        )
     levels = [lvl0]
     for i, (s, cap) in enumerate(zip(strides, capacities)):
         levels.append(

@@ -133,13 +133,70 @@ def serialize(
     if shuffle_key is not None:
         perm = jax.random.permutation(shuffle_key, len(orders))
         codes = codes[perm]
-    order = jnp.argsort(codes, axis=1, stable=True).astype(jnp.int32)
+    key_bits = 3 * point.depth + max((point.num_scenes).bit_length(), 1)
+    order = jax.vmap(lambda c: packed_argsort(c, key_bits))(codes)
     arange = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
-    inverse = jnp.zeros_like(order)
     inverse = jax.vmap(lambda o, a: jnp.zeros((n,), jnp.int32).at[o].set(a))(
         order, arange
     )
     return point.replace(codes=codes, orders=order, inverses=inverse)
+
+
+# ---------------------------------------------------------------------------
+# Packed sorts: TPU sorts pay per key byte AND per payload array, so we pack
+# (key, index) into one int64 word and sort a single array.
+# ---------------------------------------------------------------------------
+
+
+def packed_argsort(keys: jnp.ndarray, key_bits: int) -> jnp.ndarray:
+    """Stable argsort via a single-array sort of ``key << idx_bits | idx``.
+
+    Requires ``key_bits + ceil(log2(n)) <= 63`` and non-negative keys;
+    falls back to jnp.argsort otherwise.
+    """
+    n = keys.shape[0]
+    idx_bits = (n - 1).bit_length() if n > 1 else 1
+    if key_bits + idx_bits > 63:
+        return jnp.argsort(keys, stable=True).astype(jnp.int32)
+    packed = (keys.astype(jnp.int64) << idx_bits) | jnp.arange(n, dtype=jnp.int64)
+    s = jnp.sort(packed)
+    return (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
+
+
+def exact_match_positions(
+    sorted_keys: jnp.ndarray, queries: jnp.ndarray, key_bits: int
+) -> jnp.ndarray:
+    """For each query, the position of an equal element of ``sorted_keys``
+    (clamped; caller must verify equality). One single-array co-sort:
+    pack ``key << (idx_bits+1) | is_query << idx_bits | idx`` so keys sort
+    immediately before equal queries, then a cumsum counts preceding keys.
+    """
+    nk, nq = sorted_keys.shape[0], queries.shape[0]
+    total = nk + nq
+    idx_bits = (total - 1).bit_length()
+    if key_bits + idx_bits + 1 > 63:
+        return jnp.searchsorted(sorted_keys, queries, method="sort").astype(
+            jnp.int32
+        )
+    shift = idx_bits + 1
+    pk = (sorted_keys.astype(jnp.int64) << shift) | jnp.arange(
+        nk, dtype=jnp.int64
+    )
+    pq = (
+        (queries.astype(jnp.int64) << shift)
+        | (jnp.int64(1) << idx_bits)
+        | jnp.arange(nq, dtype=jnp.int64)
+    )
+    s = jnp.sort(jnp.concatenate([pk, pq]))
+    is_key = ((s >> idx_bits) & 1) == 0
+    n_keys_upto = jnp.cumsum(is_key.astype(jnp.int32))
+    cand = jnp.clip(n_keys_upto - 1, 0, nk - 1)
+    idx = (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
+    # key rows contribute 0 at an aliased slot; each query writes exactly once
+    out = jnp.zeros((nq,), jnp.int32).at[idx].add(
+        jnp.where(is_key, 0, cand), mode="drop"
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -155,13 +212,14 @@ def kernel_offsets(kernel_size: int) -> jnp.ndarray:
     return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1)  # (K, 3)
 
 
-@partial(jax.jit, static_argnames=("depth", "kernel_size"))
+@partial(jax.jit, static_argnames=("depth", "kernel_size", "num_scenes"))
 def build_neighbor_table(
     grid_coord: jnp.ndarray,
     batch: jnp.ndarray,
     mask: jnp.ndarray,
     depth: int,
     kernel_size: int = 3,
+    num_scenes: int = 1,
 ) -> jnp.ndarray:
     """For each point, the index of the point at ``grid_coord + offset`` for
     every kernel offset, or ``N`` when the voxel is unoccupied.
@@ -174,11 +232,13 @@ def build_neighbor_table(
     n = grid_coord.shape[0]
     offs = kernel_offsets(kernel_size)  # (K, 3)
     k = offs.shape[0]
+    key_bits = 3 * depth + max((num_scenes + 1).bit_length(), 1)
     keys = ser.encode(grid_coord, batch, depth=depth, order="z")  # (N,)
-    # Padding slots share one sentinel key; make them unique & unmatchable so a
-    # pad voxel never aliases a real query.
-    keys = jnp.where(mask, keys, jnp.int64(jnp.iinfo(jnp.int64).max))
-    sort_idx = jnp.argsort(keys)
+    # Padding slots share one sentinel key; push them past every real key so
+    # a pad voxel never aliases a real query (fits in key_bits: pads already
+    # carry the sentinel batch id in the high bits, just add the max code).
+    keys = jnp.where(mask, keys, (jnp.int64(1) << key_bits) - 1)
+    sort_idx = packed_argsort(keys, key_bits)
     sorted_keys = keys[sort_idx]
 
     q_coord = grid_coord[:, None, :] + offs[None, :, :]  # (N, K, 3)
@@ -189,13 +249,76 @@ def build_neighbor_table(
         depth=depth,
         order="z",
     ).reshape(n, k)
-    # method="sort" lowers to one co-sort instead of a per-query binary-search
-    # while loop (the scan lowering costs seconds at 100k x 27 queries on TPU)
-    pos = jnp.searchsorted(sorted_keys, q_keys, method="sort")
+    pos = exact_match_positions(
+        sorted_keys, q_keys.reshape(-1), key_bits
+    ).reshape(n, k)
     pos = jnp.clip(pos, 0, n - 1)
     found = (jnp.take(sorted_keys, pos) == q_keys) & in_range & mask[:, None]
     neighbor = jnp.where(found, jnp.take(sort_idx, pos), n)
     return neighbor.astype(jnp.int32)
+
+
+def _k5_decompositions():
+    """For every k5 offset d, all (a, b) k3-offset pairs with a + b = d.
+
+    Static numpy table: (125, R) index pairs into the 27 k3 offsets, padded
+    by repeating the first candidate.
+    """
+    import numpy as np
+
+    offs3 = np.array(
+        [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)]
+    )
+    idx3 = {tuple(o): i for i, o in enumerate(offs3)}
+    offs5 = [
+        (x, y, z)
+        for x in range(-2, 3) for y in range(-2, 3) for z in range(-2, 3)
+    ]
+    cands = []
+    for d in offs5:
+        pairs = []
+        for a in offs3:
+            b = tuple(np.array(d) - a)
+            if b in idx3:
+                pairs.append((idx3[tuple(a)], idx3[b]))
+        cands.append(pairs)
+    r = max(len(p) for p in cands)
+    a_idx = np.zeros((125, r), np.int32)
+    b_idx = np.zeros((125, r), np.int32)
+    for j, pairs in enumerate(cands):
+        for t in range(r):
+            a_idx[j, t], b_idx[j, t] = pairs[min(t, len(pairs) - 1)]
+    return a_idx, b_idx
+
+
+_K5_A, _K5_B = None, None
+
+
+def compose_k5_table(n3: jnp.ndarray) -> jnp.ndarray:
+    """Build the k5 (125-offset) neighbor table by composing two k3 hops.
+
+    Replaces a 125*N-query code search (a ~13M-element sort at full
+    resolution) with one (N, 27) row gather + static slicing: neighbor at
+    offset d = a + b is reached via any occupied intermediate voxel at
+    offset a. A k5 neighbor whose *every* intermediate k3 voxel is empty is
+    reported missing — i.e. the 2-hop submanifold connectivity closure,
+    which on surface point clouds coincides with the exact k5 table except
+    at isolated diagonal jumps.
+    """
+    global _K5_A, _K5_B
+    if _K5_A is None:
+        # keep as host numpy constants — a jnp array created under trace
+        # would leak a tracer into the module-level cache
+        _K5_A, _K5_B = _k5_decompositions()
+    n = n3.shape[0]
+    guard = jnp.concatenate(
+        [n3, jnp.full((1, 27), n, n3.dtype)], axis=0
+    )  # (N+1, 27)
+    rows = jnp.take(guard, n3, axis=0)  # (N, 27, 27): rows[i, a, b]
+    # min over candidate paths: all valid paths agree on the target index,
+    # and the sentinel N dominates any real index.
+    cand = rows[:, _K5_A, _K5_B]  # (N, 125, R)
+    return jnp.min(cand, axis=-1)
 
 
 def gather_sorted(x: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:

@@ -129,3 +129,54 @@ def test_pooling_overflow_goes_to_trash(rng):
     assert not m1[-1]  # trash slot always invalid
     pooled = np.asarray(pyr.pool_features(pt.feat, l1))
     np.testing.assert_array_equal(pooled[-1], 0)
+
+
+def test_pooled_orders_are_valid_permutations(rng):
+    """Sort-free derived child orders must be permutations that sort codes."""
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=320)
+    levels, _ = pyr.build_pyramid(
+        pt, strides=(2, 2), capacities=(256, 256), orders=ORDERS, shuffle_key=None
+    )
+    for lvl in levels[1:]:
+        codes = np.asarray(lvl.point.codes)
+        orders = np.asarray(lvl.point.orders)
+        inv = np.asarray(lvl.point.inverses)
+        m = lvl.size
+        for o in range(4):
+            assert sorted(orders[o].tolist()) == list(range(m))
+            np.testing.assert_array_equal(orders[o][inv[o]], np.arange(m))
+            sorted_codes = codes[o][orders[o]]
+            assert (np.diff(sorted_codes.astype(np.int64)) >= 0).all()
+        # valid slots sort before invalid ones in every order
+        mask = np.asarray(lvl.point.mask)
+        n_valid = mask.sum()
+        for o in range(4):
+            assert mask[orders[o][:n_valid]].all()
+
+
+def test_compose_k5_vs_exact(rng):
+    """Composed k5 table equals the exact build wherever a 1-hop path exists."""
+    from cdsegnet_tpu.models.structure import compose_k5_table
+
+    # dense-ish blob: most intermediates occupied
+    pt = synthetic_batch(rng, counts=(120,), num_points=128, depth=4)
+    n3 = build_neighbor_table(pt.grid_coord, pt.batch, pt.mask, depth=4, kernel_size=3)
+    exact = np.asarray(
+        build_neighbor_table(pt.grid_coord, pt.batch, pt.mask, depth=4, kernel_size=5)
+    )
+    composed = np.asarray(compose_k5_table(n3))
+    n3 = np.asarray(n3)
+    n = pt.num_points
+    found = composed < n
+    # every composed hit must equal the exact neighbor
+    np.testing.assert_array_equal(composed[found], exact[found])
+    # vectorized reachability: a missing composed entry must truly have no
+    # occupied 1-hop intermediate
+    from cdsegnet_tpu.models.structure import _k5_decompositions
+
+    a_idx, b_idx = _k5_decompositions()
+    guard = np.concatenate([n3, np.full((1, 27), n, n3.dtype)])
+    rows = guard[n3]  # (N, 27, 27)
+    reach = rows[:, a_idx, b_idx].min(-1)  # (N, 125)
+    missing_but_reachable = (composed == n) & (reach < n)
+    assert not missing_but_reachable.any()
