@@ -135,3 +135,6 @@ _register_ablations()
 
 def build_model(cfg: Dict[str, Any]):
     return MODELS.build(cfg)
+
+# model-zoo families register themselves against MODELS on import
+import cdsegnet_tpu.models.spunet  # noqa: E402,F401  (registers SpUNet/MinkUNet)

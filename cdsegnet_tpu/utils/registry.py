@@ -52,6 +52,14 @@ class Registry:
             p.kind is inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
         ):
             kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}
+        # config files produce lists; hashable consumers (flax module fields)
+        # want tuples — convert scalar lists, leave dict-valued lists alone
+        kwargs = {
+            k: tuple(v)
+            if isinstance(v, list) and not any(isinstance(x, dict) for x in v)
+            else v
+            for k, v in kwargs.items()
+        }
         return fn(**kwargs)
 
 

@@ -67,3 +67,20 @@ def test_classifier(rng):
     out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
     assert out["cls_pred"].shape == (2, 7)
     assert np.isfinite(np.asarray(out["cls_pred"])).all()
+
+
+def test_spunet(rng):
+    import jax
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    model = build_model(dict(
+        type="SpUNet-v1m1", in_channels=6, num_classes=5, base_channels=8,
+        channels=(8, 8, 16, 16, 16, 16, 8, 8), layers=(1, 1, 1, 1, 1, 1, 1, 1),
+        capacity_div=(1, 2, 4, 8, 8),
+    ))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+    assert out.feat.shape == (256, 5)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(out.feat)).all()
