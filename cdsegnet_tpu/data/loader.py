@@ -132,3 +132,29 @@ class EvalLoader:
             yield collate_scenes(
                 [scene], self.num_points, self.num_scenes, self.feat_dim
             ), scene
+
+
+class MultiDatasetLoader:
+    """Round-robin over per-dataset loaders with loop-ratio weighting
+    (reference `pointcept/datasets/dataloader.py:23-112`, used for PPT joint
+    training)."""
+
+    def __init__(self, loaders: Sequence[TrainLoader], ratios: Sequence[int]):
+        assert len(loaders) == len(ratios)
+        self.loaders = list(loaders)
+        self.ratios = list(ratios)
+
+    def __len__(self):
+        return sum(len(l) * r for l, r in zip(self.loaders, self.ratios))
+
+    def epoch(self, epoch: int):
+        iters = [iter(l.epoch(epoch)) for l in self.loaders]
+        live = list(range(len(iters)))
+        while live:
+            for i in list(live):
+                for _ in range(self.ratios[i]):
+                    try:
+                        yield next(iters[i])
+                    except StopIteration:
+                        live.remove(i)
+                        break

@@ -68,12 +68,15 @@ class SerializedAttention(nn.Module):
         n = point.num_points
         k = min(self.patch_size, n)
         scale = self.qk_scale or d**-0.5
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(
-            point.feat
-        )
         order = point.orders[self.order_index]
         inverse = point.inverses[self.order_index]
-        qkv_s = jnp.take(qkv, order, axis=0).reshape(n, 3, h, d)
+        # gather features (width C) into serialized order BEFORE the qkv
+        # projection — row-wise Dense commutes with the permutation and the
+        # gather moves 3x less data than permuting the packed qkv
+        feat_s = jnp.take(point.feat, order, axis=0)
+        qkv_s = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(feat_s).reshape(n, 3, h, d)
         q, kk, v = qkv_s[:, 0], qkv_s[:, 1], qkv_s[:, 2]
         bs = jnp.take(point.batch, order)
         ms = jnp.take(point.mask, order)
@@ -81,8 +84,8 @@ class SerializedAttention(nn.Module):
         out = attn_fn(
             q, kk, v, bs, ms, k, scale, upcast_softmax=self.upcast_softmax
         )
-        feat = jnp.take(out.reshape(n, c), inverse, axis=0)
-        feat = nn.Dense(c, dtype=self.dtype, name="proj")(feat)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(n, c))
+        feat = jnp.take(out, inverse, axis=0)
         feat = nn.Dropout(self.proj_drop)(feat, deterministic=deterministic)
         return point.replace(feat=feat)
 
@@ -257,25 +260,23 @@ class CrossAttention(nn.Module):
         n = q_point.num_points
         k = min(self.patch_size, n)
         scale = self.qk_scale or d**-0.5
-        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(
-            q_point.feat
-        )
-        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(
-            kv_point.feat
-        )
         q_order = q_point.orders[order_index]
         q_inverse = q_point.inverses[order_index]
         kv_order = kv_point.orders[order_index]
-        q_s = jnp.take(q, q_order, axis=0).reshape(n, h, d)
-        kv_s = jnp.take(kv, kv_order, axis=0).reshape(-1, 2, h, d)
+        q_s = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(
+            jnp.take(q_point.feat, q_order, axis=0)
+        ).reshape(n, h, d)
+        kv_s = nn.Dense(
+            2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
+        )(jnp.take(kv_point.feat, kv_order, axis=0)).reshape(-1, 2, h, d)
         out = cross_patch_attention(
             q_s, kv_s[:, 0], kv_s[:, 1],
             jnp.take(q_point.batch, q_order), jnp.take(q_point.mask, q_order),
             jnp.take(kv_point.batch, kv_order), jnp.take(kv_point.mask, kv_order),
             k, k, scale, upcast_softmax=self.upcast_softmax,
         )
-        feat = jnp.take(out.reshape(n, c), q_inverse, axis=0)
-        feat = nn.Dense(c, dtype=self.dtype, name="proj")(feat)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(n, c))
+        feat = jnp.take(out, q_inverse, axis=0)
         feat = nn.Dropout(self.proj_drop)(feat, deterministic=deterministic)
         return q_point.replace(feat=feat)
 

@@ -163,39 +163,52 @@ def packed_argsort(keys: jnp.ndarray, key_bits: int) -> jnp.ndarray:
     return (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
 
 
-def exact_match_positions(
-    sorted_keys: jnp.ndarray, queries: jnp.ndarray, key_bits: int
+def exact_match_lookup(
+    keys: jnp.ndarray,
+    key_index: jnp.ndarray,
+    queries: jnp.ndarray,
+    key_bits: int,
+    missing: int,
 ) -> jnp.ndarray:
-    """For each query, the position of an equal element of ``sorted_keys``
-    (clamped; caller must verify equality). One single-array co-sort:
-    pack ``key << (idx_bits+1) | is_query << idx_bits | idx`` so keys sort
-    immediately before equal queries, then a cumsum counts preceding keys.
+    """For each query key, the ``key_index`` of an equal element of ``keys``,
+    or ``missing`` when absent.
+
+    One single-array co-sort of packed words
+    ``key << (idx_bits+1) | is_query << idx_bits | payload`` — keys sort
+    immediately before equal queries — followed by a cumulative max that
+    propagates the most recent key row (carrying its payload) to every
+    query, an in-register equality check, and one scatter. No per-element
+    post-sort gathers (XLA lowers those to latency-bound scalar loads).
     """
-    nk, nq = sorted_keys.shape[0], queries.shape[0]
-    total = nk + nq
-    idx_bits = (total - 1).bit_length()
+    nk, nq = keys.shape[0], queries.shape[0]
+    idx_bits = max((nk + nq - 1).bit_length(), (missing + 1).bit_length())
     if key_bits + idx_bits + 1 > 63:
-        return jnp.searchsorted(sorted_keys, queries, method="sort").astype(
-            jnp.int32
+        # bit budget exceeded (very deep serialization): classic co-sorted
+        # searchsorted + equality verification
+        sort_idx = jnp.argsort(keys)
+        sorted_keys = keys[sort_idx]
+        pos = jnp.clip(
+            jnp.searchsorted(sorted_keys, queries, method="sort"), 0, nk - 1
         )
+        found = jnp.take(sorted_keys, pos) == queries
+        return jnp.where(
+            found, jnp.take(key_index[sort_idx], pos), missing
+        ).astype(jnp.int32)
     shift = idx_bits + 1
-    pk = (sorted_keys.astype(jnp.int64) << shift) | jnp.arange(
-        nk, dtype=jnp.int64
-    )
+    flag = jnp.int64(1) << idx_bits
+    pk = (keys.astype(jnp.int64) << shift) | key_index.astype(jnp.int64)
     pq = (
-        (queries.astype(jnp.int64) << shift)
-        | (jnp.int64(1) << idx_bits)
-        | jnp.arange(nq, dtype=jnp.int64)
+        (queries.astype(jnp.int64) << shift) | flag | jnp.arange(nq, dtype=jnp.int64)
     )
     s = jnp.sort(jnp.concatenate([pk, pq]))
-    is_key = ((s >> idx_bits) & 1) == 0
-    n_keys_upto = jnp.cumsum(is_key.astype(jnp.int32))
-    cand = jnp.clip(n_keys_upto - 1, 0, nk - 1)
-    idx = (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
-    # key rows contribute 0 at an aliased slot; each query writes exactly once
-    out = jnp.zeros((nq,), jnp.int32).at[idx].add(
-        jnp.where(is_key, 0, cand), mode="drop"
-    )
+    is_key = (s & flag) == 0
+    # most recent key row at or before each position (keys ascend with s)
+    last_key = jax.lax.associative_scan(jnp.maximum, jnp.where(is_key, s, -1))
+    match = (last_key >= 0) & ((last_key >> shift) == (s >> shift))
+    payload = (s & (flag - 1)).astype(jnp.int32)
+    neigh = jnp.where(match, (last_key & (flag - 1)).astype(jnp.int32), missing)
+    out = jnp.full((nq,), missing, jnp.int32)
+    out = out.at[jnp.where(is_key, nq, payload)].set(neigh, mode="drop")
     return out
 
 
@@ -238,8 +251,6 @@ def build_neighbor_table(
     # a pad voxel never aliases a real query (fits in key_bits: pads already
     # carry the sentinel batch id in the high bits, just add the max code).
     keys = jnp.where(mask, keys, (jnp.int64(1) << key_bits) - 1)
-    sort_idx = packed_argsort(keys, key_bits)
-    sorted_keys = keys[sort_idx]
 
     q_coord = grid_coord[:, None, :] + offs[None, :, :]  # (N, K, 3)
     in_range = jnp.all((q_coord >= 0) & (q_coord < (1 << depth)), axis=-1)
@@ -248,13 +259,11 @@ def build_neighbor_table(
         jnp.repeat(batch, k),
         depth=depth,
         order="z",
+    )
+    neighbor = exact_match_lookup(
+        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n
     ).reshape(n, k)
-    pos = exact_match_positions(
-        sorted_keys, q_keys.reshape(-1), key_bits
-    ).reshape(n, k)
-    pos = jnp.clip(pos, 0, n - 1)
-    found = (jnp.take(sorted_keys, pos) == q_keys) & in_range & mask[:, None]
-    neighbor = jnp.where(found, jnp.take(sort_idx, pos), n)
+    neighbor = jnp.where(in_range & mask[:, None], neighbor, n)
     return neighbor.astype(jnp.int32)
 
 

@@ -7,7 +7,7 @@ num_devices = None  # None = all local devices
 mix_prob = 0.0
 empty_cache = False
 enable_amp = True  # informational: compute dtype is set per-model via dtype
-serialization_depth = 16
+serialization_depth = 12
 scenes_per_device = 2
 feat_dim = 6
 

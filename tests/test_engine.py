@@ -117,3 +117,76 @@ def test_trainer_end_to_end(tmp_path):
     restored = tr2.ckpt_manager.restore(tr2.state, "model_last")
     assert restored is not None
     assert int(restored.step) == int(tr.state.step)
+
+
+@pytest.mark.slow
+def test_tta_tester_end_to_end(tmp_path):
+    """SemSegTester: TTA fragments -> vote accumulation -> mIoU + submission."""
+    import jax
+
+    from cdsegnet_tpu.engine.state import TrainState
+    from cdsegnet_tpu.engine.test import SemSegTester
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.models.structure import make_point_batch
+    from test_model import TINY_MODEL, RNGS
+
+    import jax.numpy as jnp
+    import optax
+
+    root = str(tmp_path / "data")
+    _write_synthetic_dataset(root, n_scenes=2, n_points=300)
+    save = str(tmp_path / "exp")
+    cfg = Config(Config._wrap(dict(
+        save_path=save,
+        seed=0,
+        serialization_depth=7,
+        submission=True,
+        test_buckets=[256, 512],
+        ignore_index=-1,
+        model=TINY_MODEL,
+        data=dict(
+            num_classes=5,
+            ignore_index=-1,
+            names=[f"c{i}" for i in range(5)],
+            test=dict(
+                type="ScanNetDataset", split="val", data_root=root,
+                transform=[dict(type="CenterShift", apply_z=True),
+                           dict(type="NormalizeColor")],
+                test_mode=True,
+                test_cfg=dict(
+                    voxelize=dict(type="GridSample", grid_size=0.1,
+                                  hash_type="fnv", mode="test",
+                                  keys=("coord", "color", "normal"),
+                                  return_grid_coord=True),
+                    crop=None,
+                    post_transform=[
+                        dict(type="CenterShift", apply_z=False),
+                        dict(type="Collect", keys=("coord", "grid_coord", "index"),
+                             feat_keys=("color", "normal")),
+                    ],
+                    aug_transform=[
+                        [dict(type="RandomRotateTargetAngle", angle=[0], axis="z",
+                              center=[0, 0, 0], p=1)],
+                        [dict(type="RandomFlip", p=1)],
+                    ],
+                ),
+            ),
+        ),
+    )))
+    model = build_model(dict(TINY_MODEL))
+    n = 512
+    point = make_point_batch(
+        coord=jnp.zeros((n, 3)), feat=jnp.zeros((n, 6)),
+        grid_coord=jnp.zeros((n, 3), jnp.int32),
+        batch=jnp.zeros((n,), jnp.int32),
+        mask=jnp.zeros((n,), bool).at[:300].set(True),
+        segment=jnp.zeros((n,), jnp.int32), depth=7, num_scenes=1,
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, point)
+    state = TrainState.create(variables, optax.identity(), jax.random.PRNGKey(0))
+    tester = SemSegTester(cfg, state=state, model=model)
+    miou = tester.test()
+    assert 0.0 <= miou <= 1.0
+    assert os.path.isdir(os.path.join(save, "result"))
+    subs = os.listdir(os.path.join(save, "submit"))
+    assert len(subs) == 2  # one txt per scene
