@@ -14,6 +14,7 @@ Prints ONE JSON line.
 """
 
 import json
+import jax.numpy as jnp
 import sys
 import time
 
@@ -59,16 +60,19 @@ def main():
             variables, point, noise, method=CNFSegmentor.inference,
         )["seg_logits"]
 
+    # force full materialization with a host read — block_until_ready can
+    # return early through the remote-device relay
     t0 = time.time()
     out = ssi(variables, point, noise)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
     compile_s = time.time() - t0
+
 
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         out = ssi(variables, point, noise)
-    jax.block_until_ready(out)
+        _ = float(jnp.sum(out))
     dt = (time.time() - t0) / iters
 
     pts_per_sec = n_real / dt

@@ -1,0 +1,96 @@
+"""Timing-protocol evaluation (reference `tools/test_time.py:30-64`).
+
+Measures single-step-inference latency under the paper's speed protocol:
+no TTA, no fragmented inference (one whole-scene forward), SSI.
+
+    python tools/test_time.py --config-file configs/scannet/cdsegnet.py \
+        [--checkpoint model_best] [--synthetic]
+
+With --synthetic no dataset is needed: a ScanNet-sized random scene is used
+(same protocol as bench.py but through the full tester path).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cdsegnet_tpu  # noqa: F401
+from cdsegnet_tpu.engine.config import Config, parse_options
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config-file", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--num-points", type=int, default=104448)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--options", nargs="*", default=None)
+    args = ap.parse_args()
+    cfg = Config.fromfile(args.config_file)
+    cfg.merge_from_dict(parse_options(args.options))
+
+    from cdsegnet_tpu.engine.state import TrainState, batch_to_point
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.models.segmentor import CNFSegmentor
+
+    model = build_model(dict(cfg.model))
+    n = args.num_points
+    feat_dim = cfg.get("feat_dim", 6)
+    rng = np.random.RandomState(0)
+    grid = rng.randint(0, 1 << 9, size=(n, 3)).astype(np.int32)
+    batch = dict(
+        coord=(grid * 0.02).astype(np.float32),
+        grid_coord=grid,
+        feat=rng.randn(n, feat_dim).astype(np.float32),
+        segment=np.zeros((n,), np.int32),
+        batch=np.zeros((n,), np.int32),
+        mask=np.ones((n,), bool),
+    )
+    point = batch_to_point(
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        cfg.get("serialization_depth", 12), 1,
+    )
+    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+                shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
+    if args.checkpoint:
+        import optax
+
+        from cdsegnet_tpu.engine.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(
+            os.path.join(cfg.get("save_path", "exp/default"), "model")
+        )
+        state = TrainState.create(variables, optax.identity(), jax.random.PRNGKey(0))
+        restored = mgr.restore(state, args.checkpoint)
+        if restored is not None:
+            variables = {"params": restored.params,
+                         "batch_stats": restored.batch_stats}
+
+    noise = jax.random.normal(jax.random.PRNGKey(7), (n, cfg.model.c_in_channels))
+
+    @jax.jit
+    def ssi(v, p, z):
+        return model.apply(v, p, z, method=CNFSegmentor.inference)["seg_logits"]
+
+    out = ssi(variables, point, noise)
+    _ = float(jnp.sum(out))
+    t0 = time.time()
+    for _i in range(args.iters):
+        out = ssi(variables, point, noise)
+        _ = float(jnp.sum(out))
+    dt = (time.time() - t0) / args.iters
+    print(f"SSI latency: {dt * 1e3:.2f} ms/scene, "
+          f"{n / dt:,.0f} points/s on {jax.devices()[0]}")
+
+
+if __name__ == "__main__":
+    main()
