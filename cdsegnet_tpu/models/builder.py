@@ -34,7 +34,7 @@ def build_ptv3(**cfg: Any) -> PointTransformerV3:
         dtype = jnp.dtype(dtype)
     drop = {
         # reference options that are fixed / unsupported by design:
-        "enable_rpe", "enable_flash", "upcast_attention", "cls_mode",
+        "enable_flash", "upcast_attention", "cls_mode",
         "pdnorm_bn", "pdnorm_ln", "pdnorm_decouple", "pdnorm_adaptive",
         "pdnorm_affine", "pdnorm_conditions", "pre_norm", "attn_drop",
         "tm_restomer", "b_factor", "s_factor",

@@ -45,6 +45,34 @@ from cdsegnet_tpu.ops.attention import cross_patch_attention, patch_attention
 DEFAULT_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
 
 
+class RPE(nn.Module):
+    """Learned relative-position bias over clamped grid-coordinate deltas
+    (reference `:103-122`); used by small-patch non-flash variants."""
+
+    patch_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, rel_pos: jnp.ndarray) -> jnp.ndarray:
+        # rel_pos: (P, K, K, 3) int32 -> bias (P, H, K, K)
+        pos_bnd = int((4 * self.patch_size) ** (1 / 3) * 2)
+        rpe_num = 2 * pos_bnd + 1
+        table = self.param(
+            "rpe_table",
+            nn.initializers.truncated_normal(0.02),
+            (3 * rpe_num, self.num_heads),
+            jnp.float32,
+        )
+        idx = (
+            jnp.clip(rel_pos, -pos_bnd, pos_bnd)
+            + pos_bnd
+            + jnp.arange(3, dtype=jnp.int32) * rpe_num
+        )
+        out = jnp.take(table, idx.reshape(-1), axis=0)
+        out = out.reshape(idx.shape + (self.num_heads,)).sum(axis=3)
+        return out.transpose(0, 3, 1, 2)  # (P, K, K, H) -> (P, H, K, K)
+
+
 class SerializedAttention(nn.Module):
     """Self attention within serialized patches (reference `:125-296`)."""
 
@@ -55,6 +83,7 @@ class SerializedAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     proj_drop: float = 0.0
+    enable_rpe: bool = False
     upcast_softmax: bool = True
     use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
@@ -80,10 +109,21 @@ class SerializedAttention(nn.Module):
         q, kk, v = qkv_s[:, 0], qkv_s[:, 1], qkv_s[:, 2]
         bs = jnp.take(point.batch, order)
         ms = jnp.take(point.mask, order)
-        attn_fn = attention_impl(self.use_pallas)
-        out = attn_fn(
-            q, kk, v, bs, ms, k, scale, upcast_softmax=self.upcast_softmax
-        )
+        if self.enable_rpe:
+            gc = jnp.take(point.grid_coord, order, axis=0).reshape(
+                n // k, k, 3
+            )
+            rel = gc[:, :, None, :] - gc[:, None, :, :]
+            bias = RPE(k, h, name="rpe")(rel)
+            out = patch_attention(
+                q, kk, v, bs, ms, k, scale, bias=bias,
+                upcast_softmax=self.upcast_softmax,
+            )
+        else:
+            attn_fn = attention_impl(self.use_pallas)
+            out = attn_fn(
+                q, kk, v, bs, ms, k, scale, upcast_softmax=self.upcast_softmax
+            )
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(n, c))
         feat = jnp.take(out, inverse, axis=0)
         feat = nn.Dropout(self.proj_drop)(feat, deterministic=deterministic)
@@ -104,6 +144,7 @@ class Block(nn.Module):
     proj_drop: float = 0.0
     drop_path_rate: float = 0.0
     t_dim: int = -1
+    enable_rpe: bool = False
     upcast_softmax: bool = True
     use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
@@ -134,6 +175,7 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
             proj_drop=self.proj_drop,
+            enable_rpe=self.enable_rpe,
             upcast_softmax=self.upcast_softmax,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
@@ -477,6 +519,7 @@ class PointTransformerV3(nn.Module):
 
     num_classes: int = 20
     t_dim: int = 128
+    enable_rpe: bool = False
     use_pallas: Optional[bool] = None
     condition: bool = False
     tm_bidirectional: bool = False
@@ -618,7 +661,7 @@ class PointTransformerV3(nn.Module):
                         order_index=i % len(self.orders),
                         qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                         proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
-                        t_dim=self.t_dim,
+                        t_dim=self.t_dim, enable_rpe=self.enable_rpe,
                         upcast_softmax=self.upcast_softmax,
                         use_pallas=self.use_pallas, dtype=self.dtype,
                         name=f"c_enc{s}_block{i}",
@@ -663,6 +706,7 @@ class PointTransformerV3(nn.Module):
                     order_index=i % len(self.orders),
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
+                    enable_rpe=self.enable_rpe,
                     upcast_softmax=self.upcast_softmax,
                     use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"n_dec{s}_block{i}",
@@ -706,7 +750,7 @@ class PointTransformerV3(nn.Module):
                     order_index=i % len(self.orders),
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
-                    t_dim=self.t_dim,
+                    t_dim=self.t_dim, enable_rpe=self.enable_rpe,
                     upcast_softmax=self.upcast_softmax,
                     use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"c_dec{s}_block{i}",

@@ -151,3 +151,20 @@ def test_plain_ptv3(model_and_vars):
     out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
     assert out["n_pred"].shape == (256, 5)
     assert np.isfinite(np.asarray(out["n_pred"])).all()
+
+
+def test_rpe_attention(rng):
+    """RPE-enabled small-patch attention runs and is finite."""
+    from cdsegnet_tpu.models.ptv3 import SerializedAttention
+    from cdsegnet_tpu.models.structure import serialize
+    from helpers import synthetic_batch
+
+    pt = synthetic_batch(rng, counts=(100, 60), num_points=192)
+    pt = serialize(pt, orders=("z", "z-trans", "hilbert", "hilbert-trans"))
+    pt = pt.replace(feat=jnp.asarray(np.random.RandomState(1).randn(192, 16), jnp.float32))
+    mod = SerializedAttention(channels=16, num_heads=2, patch_size=48,
+                              enable_rpe=True)
+    variables = jax.jit(lambda r, p: mod.init(r, p))(dict(params=jax.random.PRNGKey(0)), pt)
+    out = jax.jit(lambda v, p: mod.apply(v, p))(variables, pt)
+    assert out.feat.shape == (192, 16)
+    assert np.isfinite(np.asarray(out.feat)).all()
