@@ -1,0 +1,256 @@
+"""Point Transformer V1 / V2: (grouped) vector attention over kNN graphs.
+
+TPU-native counterparts of the reference zoo families
+(`pointcept/models/point_transformer/*` ~963 LoC and
+`pointcept/models/point_transformer_v2/*` ~1.8k LoC, both built on the
+`pointops` CUDA kernels). Here the neighborhood ops are the XLA programs in
+`cdsegnet_tpu/ops/pointops.py` (chunked MXU distance tiles + top_k) and the
+grid pooling reuses the shared geometry pyramid.
+
+- `VectorAttention` (PTv1): subtraction relation + position MLP, per-channel
+  softmax weights (reference `point_transformer_seg.py`).
+- `GroupedVectorAttention` (PTv2): channel groups share attention weights,
+  with positional encoding added to both relation and values (reference
+  `point_transformer_v2m2_base.py`).
+
+Registered: `PT-v1` and `PT-v2m2` segmentors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.builder import MODELS
+from cdsegnet_tpu.models.modules import MaskedBatchNorm
+from cdsegnet_tpu.models.structure import PointBatch
+from cdsegnet_tpu.ops.pointops import grouping, knn
+
+
+class GroupedVectorAttention(nn.Module):
+    channels: int
+    groups: int
+    k_neighbors: int = 16
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool = False):
+        c, g = self.channels, self.groups
+        n = feat.shape[0]
+        q = nn.Dense(c, use_bias=True, dtype=self.dtype, name="linear_q")(feat)
+        k = nn.Dense(c, use_bias=True, dtype=self.dtype, name="linear_k")(feat)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="linear_v")(feat)
+        idx, _ = knn(coord, coord, self.k_neighbors, mask, mask)
+        k_n = grouping(k, idx)  # (N, K, C)
+        v_n = grouping(v, idx)
+        pos = grouping(coord, idx) - coord[:, None, :]  # (N, K, 3)
+        pos = pos.astype(self.dtype)
+        relation = q[:, None, :] - k_n
+        if self.pe_multiplier:
+            pem = nn.Sequential([
+                nn.Dense(3, dtype=self.dtype), nn.gelu,
+                nn.Dense(c, dtype=self.dtype),
+            ])(pos)
+            relation = relation * pem
+        if self.pe_bias:
+            peb = nn.Dense(c, dtype=self.dtype, name="pe_bias2")(
+                nn.gelu(nn.Dense(3, dtype=self.dtype, name="pe_bias1")(pos))
+            )
+            relation = relation + peb
+            v_n = v_n + peb
+        w = nn.Dense(g, dtype=self.dtype, name="weight_fc2")(
+            nn.gelu(nn.Dense(c, dtype=self.dtype, name="weight_fc1")(relation))
+        )  # (N, K, G)
+        valid = (idx < n)[..., None]
+        w = jnp.where(valid, w.astype(jnp.float32), -1e9)
+        w = jax.nn.softmax(w, axis=1).astype(v_n.dtype)
+        v_g = v_n.reshape(n, self.k_neighbors, g, c // g)
+        out = jnp.sum(v_g * w[..., None], axis=1).reshape(n, c)
+        return out
+
+
+class BlockV2(nn.Module):
+    channels: int
+    groups: int
+    k_neighbors: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool = False):
+        c = self.channels
+        f = GroupedVectorAttention(
+            channels=c, groups=self.groups, k_neighbors=self.k_neighbors,
+            dtype=self.dtype, name="attn",
+        )(feat, coord, mask, train)
+        f = MaskedBatchNorm(c, dtype=self.dtype, name="bn")(
+            f, mask, use_running_average=not train
+        )
+        f = nn.relu(f)
+        f = nn.Dense(c, dtype=self.dtype, name="fc")(f)
+        f = MaskedBatchNorm(c, dtype=self.dtype, name="bn2")(
+            f, mask, use_running_average=not train
+        )
+        return nn.relu(feat + f)
+
+
+@MODELS.register_module("PT-v2m2")
+class PointTransformerV2(nn.Module):
+    """PTv2 segmentor: GVA blocks + grid pooling UNet."""
+
+    in_channels: int = 6
+    num_classes: int = 20
+    patch_embed_channels: int = 48
+    patch_embed_groups: int = 6
+    enc_channels: Tuple[int, ...] = (96, 192, 384, 512)
+    enc_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    enc_groups: Tuple[int, ...] = (12, 24, 48, 64)
+    dec_channels: Tuple[int, ...] = (48, 96, 192, 384)
+    dec_depths: Tuple[int, ...] = (1, 1, 1, 1)
+    dec_groups: Tuple[int, ...] = (6, 12, 24, 48)
+    k_neighbors: int = 16
+    capacity_div: Tuple[int, ...] = (1, 2, 8, 32, 128)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        num_stages = len(self.enc_channels)
+        n0 = point.num_points
+        caps = [
+            pyr.round_up(max(n0 // d, 8), 8)
+            for d in self.capacity_div[1:num_stages + 1]
+        ]
+        levels, _ = pyr.build_pyramid(
+            point, strides=(2,) * num_stages, capacities=caps,
+            orders=("z",), shuffle_key=None, stem_kernel=3,
+        )
+        feat = nn.Dense(self.patch_embed_channels, dtype=self.dtype,
+                        name="patch_embed")(point.feat)
+        feat = BlockV2(self.patch_embed_channels, self.patch_embed_groups,
+                       self.k_neighbors, dtype=self.dtype, name="embed_block")(
+            feat, point.coord, point.mask, train
+        )
+        skips = [feat]
+        for s in range(num_stages):
+            lvl = levels[s + 1]
+            f = nn.Dense(self.enc_channels[s], dtype=self.dtype,
+                         name=f"down{s}")(skips[-1])
+            f = pyr.pool_features(f, lvl, reduce="max")
+            for i in range(self.enc_depths[s]):
+                f = BlockV2(self.enc_channels[s], self.enc_groups[s],
+                            self.k_neighbors, dtype=self.dtype,
+                            name=f"enc{s}_block{i}")(
+                    f, lvl.point.coord, lvl.point.mask, train
+                )
+            skips.append(f)
+        f = skips[-1]
+        for s in reversed(range(num_stages)):
+            lvl = levels[s + 1]
+            f = nn.Dense(self.dec_channels[s], dtype=self.dtype,
+                         name=f"up{s}")(f)
+            f = pyr.unpool_features(f, lvl)
+            skip = nn.Dense(self.dec_channels[s], dtype=self.dtype,
+                            name=f"skip{s}")(skips[s])
+            f = f + skip
+            lo = levels[s]
+            for i in range(self.dec_depths[s]):
+                f = BlockV2(self.dec_channels[s], self.dec_groups[s],
+                            self.k_neighbors, dtype=self.dtype,
+                            name=f"dec{s}_block{i}")(
+                    f, lo.point.coord, lo.point.mask, train
+                )
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
+            f.astype(jnp.float32)
+        )
+        return point.replace(feat=logits)
+
+
+class VectorAttentionV1(nn.Module):
+    """PTv1 vector attention: per-channel subtraction relation
+    (reference `point_transformer_seg.py`, pointops subtraction/aggregation
+    kernels)."""
+
+    channels: int
+    k_neighbors: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool = False):
+        c = self.channels
+        n = feat.shape[0]
+        q = nn.Dense(c, dtype=self.dtype, name="linear_q")(feat)
+        k = nn.Dense(c, dtype=self.dtype, name="linear_k")(feat)
+        v = nn.Dense(c, dtype=self.dtype, name="linear_v")(feat)
+        idx, _ = knn(coord, coord, self.k_neighbors, mask, mask)
+        pos = (grouping(coord, idx) - coord[:, None, :]).astype(self.dtype)
+        pe = nn.Dense(c, dtype=self.dtype, name="pe2")(
+            nn.relu(nn.Dense(3, dtype=self.dtype, name="pe1")(pos))
+        )
+        rel = q[:, None, :] - grouping(k, idx) + pe
+        w = nn.Dense(c, dtype=self.dtype, name="w2")(
+            nn.relu(nn.Dense(c, dtype=self.dtype, name="w1")(rel))
+        )
+        valid = (idx < n)[..., None]
+        w = jnp.where(valid, w.astype(jnp.float32), -1e9)
+        w = jax.nn.softmax(w, axis=1).astype(self.dtype)
+        return jnp.sum((grouping(v, idx) + pe) * w, axis=1)
+
+
+@MODELS.register_module("PT-v1")
+class PointTransformerV1(nn.Module):
+    """PTv1 segmentor (reduced UNet on the pyramid)."""
+
+    in_channels: int = 6
+    num_classes: int = 20
+    channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    depths: Tuple[int, ...] = (1, 2, 2, 2, 2)
+    k_neighbors: int = 16
+    capacity_div: Tuple[int, ...] = (1, 4, 16, 64, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        num_down = len(self.channels) - 1
+        n0 = point.num_points
+        caps = [
+            pyr.round_up(max(n0 // d, 8), 8)
+            for d in self.capacity_div[1:num_down + 1]
+        ]
+        levels, _ = pyr.build_pyramid(
+            point, strides=(2,) * num_down, capacities=caps,
+            orders=("z",), shuffle_key=None, stem_kernel=3,
+        )
+        feat = nn.Dense(self.channels[0], dtype=self.dtype, name="stem")(
+            point.feat
+        )
+        skips = []
+        for s in range(num_down + 1):
+            lvl = levels[s]
+            if s > 0:
+                feat = nn.Dense(self.channels[s], dtype=self.dtype,
+                                name=f"down{s}")(feat)
+                feat = pyr.pool_features(feat, levels[s], reduce="max")
+            for i in range(self.depths[s]):
+                f = VectorAttentionV1(self.channels[s], self.k_neighbors,
+                                      dtype=self.dtype, name=f"enc{s}_att{i}")(
+                    feat, lvl.point.coord, lvl.point.mask, train
+                )
+                feat = feat + f
+            if s < num_down:
+                skips.append(feat)
+        for s in reversed(range(num_down)):
+            feat = nn.Dense(self.channels[s], dtype=self.dtype,
+                            name=f"up{s}")(feat)
+            feat = pyr.unpool_features(feat, levels[s + 1])
+            feat = feat + nn.Dense(self.channels[s], dtype=self.dtype,
+                                   name=f"skipproj{s}")(skips[s])
+        return point.replace(
+            feat=nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
+                feat.astype(jnp.float32)
+            )
+        )

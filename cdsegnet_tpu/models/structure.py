@@ -320,10 +320,9 @@ def compose_k5_table(n3: jnp.ndarray) -> jnp.ndarray:
         # would leak a tracer into the module-level cache
         _K5_A, _K5_B = _k5_decompositions()
     n = n3.shape[0]
-    guard = jnp.concatenate(
-        [n3, jnp.full((1, 27), n, n3.dtype)], axis=0
-    )  # (N+1, 27)
-    rows = jnp.take(guard, n3, axis=0)  # (N, 27, 27): rows[i, a, b]
+    rows = jnp.take(
+        n3, n3, axis=0, mode="fill", fill_value=n
+    )  # (N, 27, 27): rows[i, a, b]; missing first hop -> sentinel row
     # min over candidate paths: all valid paths agree on the target index,
     # and the sentinel N dominates any real index.
     cand = rows[:, _K5_A, _K5_B]  # (N, 125, R)

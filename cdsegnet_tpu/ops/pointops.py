@@ -122,10 +122,9 @@ def farthest_point_sampling(
 
 
 def grouping(feat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather neighbor features -> (M, k, C); index N reads a zero guard row
+    """Gather neighbor features -> (M, k, C); index N reads zeros
     (reference `src/grouping`)."""
-    guard = jnp.concatenate([feat, jnp.zeros((1, feat.shape[1]), feat.dtype)])
-    return jnp.take(guard, idx, axis=0)
+    return jnp.take(feat, idx, axis=0, mode="fill", fill_value=0)
 
 
 @jax.jit

@@ -40,12 +40,15 @@ def subm_conv_apply(
     k = neighbor_idx.shape[1]
     assert weight.shape[0] == k, (weight.shape, k)
     c_out = weight.shape[2]
-    guard = jnp.concatenate([feat, jnp.zeros((1, c_in), feat.dtype)], axis=0)
     # One gather of all K offsets + one MXU matmul. A loop over offsets would
     # serialize K small gathers (each HBM-latency-bound); the fused form lets
     # XLA pipeline the gather and runs a single (N, K*C_in) @ (K*C_in, C_out)
-    # contraction at full MXU utilization.
-    g = jnp.take(guard, neighbor_idx.reshape(-1), axis=0)  # (N*K, C_in)
+    # contraction at full MXU utilization. Missing neighbors carry index N,
+    # which the OOB-fill gather turns into zero rows (no guard-row concat or
+    # select pass).
+    g = jnp.take(
+        feat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
+    )  # (N*K, C_in)
     g = g.reshape(n, k * c_in)
     w = weight.reshape(k * c_in, c_out).astype(feat.dtype)
     out = jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat.dtype)

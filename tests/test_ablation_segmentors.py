@@ -84,3 +84,26 @@ def test_spunet(rng):
     import numpy as np
 
     assert np.isfinite(np.asarray(out.feat)).all()
+
+
+def test_ptv2_and_ptv1(rng):
+    import jax
+
+    pt = synthetic_batch(rng, counts=(80, 60), num_points=160, depth=6)
+    for cfg in (
+        dict(type="PT-v2m2", in_channels=6, num_classes=5,
+             patch_embed_channels=8, patch_embed_groups=2,
+             enc_channels=(8, 16), enc_depths=(1, 1),
+             enc_groups=(2, 4), dec_channels=(8, 8), dec_depths=(1, 1),
+             dec_groups=(2, 2), k_neighbors=8, capacity_div=(1, 2, 4)),
+        dict(type="PT-v1", in_channels=6, num_classes=5,
+             channels=(8, 16, 16), depths=(1, 1, 1), k_neighbors=8,
+             capacity_div=(1, 2, 4)),
+    ):
+        model = build_model(cfg)
+        variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+        out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+        assert out.feat.shape == (160, 5)
+        import numpy as np
+
+        assert np.isfinite(np.asarray(out.feat)).all()
