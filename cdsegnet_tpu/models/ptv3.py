@@ -223,6 +223,39 @@ class Embedding(nn.Module):
         return point.replace(feat=f)
 
 
+class DualEmbedding(nn.Module):
+    """Fused n+c stems: both branches share the k5 table, so the feature
+    gather runs once over concatenated channels (block-diagonal weights)."""
+
+    n_in: int
+    c_in: int
+    n_embed: int
+    c_embed: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, n_feat, c_feat, mask, stem_neighbor, train: bool = False):
+        from cdsegnet_tpu.ops.subm_conv import dual_subm_conv_apply
+
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        wn = self.param("n_weight", init, (125, self.n_in, self.n_embed), jnp.float32)
+        wc = self.param("c_weight", init, (125, self.c_in, self.c_embed), jnp.float32)
+        fn, fc = dual_subm_conv_apply(
+            n_feat.astype(self.dtype), c_feat.astype(self.dtype),
+            stem_neighbor, wn, wc,
+        )
+        fn = MaskedBatchNorm(self.n_embed, dtype=self.dtype, name="n_norm")(
+            fn, mask, use_running_average=not train
+        )
+        fc = MaskedBatchNorm(self.c_embed, dtype=self.dtype, name="c_norm")(
+            fc, mask, use_running_average=not train
+        )
+        return (
+            nn.gelu(fn, approximate=False),
+            nn.gelu(fc, approximate=False),
+        )
+
+
 class PoolingProj(nn.Module):
     """proj -> segment-max -> BN -> GELU (reference SerializedPooling
     `:431-555`, geometry factored out into the shared pyramid)."""
@@ -589,20 +622,21 @@ class PointTransformerV3(nn.Module):
             t = None
 
         # ---- embeddings ----
-        npt = self._attach(n_point, levels[0], n_point.feat)
-        npt = Embedding(
-            self.n_in_channels, self.n_enc_channels[0], dtype=self.dtype,
-            name="n_embedding",
-        )(npt, stem_nbr, train)
-
         if self.condition:
             assert c_point is not None
-            cpt = self._attach(c_point, levels[0], c_point.feat, t_emb=t)
-            cpt = Embedding(
-                self.c_in_channels, self.c_enc_channels[0], dtype=self.dtype,
-                name="c_embedding",
-            )(cpt, stem_nbr, train)
-            cpt = cpt.replace(t_emb=t)
+            fn, fc = DualEmbedding(
+                self.n_in_channels, self.c_in_channels,
+                self.n_enc_channels[0], self.c_enc_channels[0],
+                dtype=self.dtype, name="dual_embedding",
+            )(n_point.feat, c_point.feat, levels[0].point.mask, stem_nbr, train)
+            npt = self._attach(n_point, levels[0], fn)
+            cpt = self._attach(c_point, levels[0], fc, t_emb=t)
+        else:
+            npt = self._attach(n_point, levels[0], n_point.feat)
+            npt = Embedding(
+                self.n_in_channels, self.n_enc_channels[0], dtype=self.dtype,
+                name="n_embedding",
+            )(npt, stem_nbr, train)
 
         # ---- n encoder ----
         n_dp = list(np.linspace(0, self.drop_path, sum(self.n_enc_depths)))

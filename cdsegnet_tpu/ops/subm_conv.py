@@ -55,3 +55,43 @@ def subm_conv_apply(
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out
+
+
+def dual_subm_conv_apply(
+    feat_a: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    weight_a: jnp.ndarray,
+    weight_b: jnp.ndarray,
+    accum_dtype: jnp.dtype = jnp.float32,
+):
+    """Two submanifold convs over the SAME neighbor table with one gather.
+
+    Used by the dual-branch stem: the n/c embeddings share the k5 table, so
+    their feature gathers are fused by concatenating channels and applying a
+    block-diagonal weight (offset-block `[Wa 0; 0 Wb]`). Halves the stem's
+    HBM gather passes.
+    """
+    n, ca = feat_a.shape
+    cb = feat_b.shape[1]
+    k = neighbor_idx.shape[1]
+    coa, cob = weight_a.shape[2], weight_b.shape[2]
+    cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
+    g = jnp.take(
+        cat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
+    ).reshape(n, k * (ca + cb))
+    wa = weight_a.astype(feat_a.dtype)
+    wb = weight_b.astype(feat_a.dtype)
+    w = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [wa, jnp.zeros((k, ca, cob), feat_a.dtype)], axis=2
+            ),
+            jnp.concatenate(
+                [jnp.zeros((k, cb, coa), feat_a.dtype), wb], axis=2
+            ),
+        ],
+        axis=1,
+    ).reshape(k * (ca + cb), coa + cob)
+    out = jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat_a.dtype)
+    return out[:, :coa], out[:, coa:]
