@@ -293,3 +293,130 @@ class ConcatDataset:
 
 def build_dataset(cfg: Dict):
     return DATASETS.build(dict(cfg))
+
+
+@DATASETS.register_module()
+class S3DISDataset(DefaultDataset):
+    """S3DIS rooms (reference `pointcept/datasets/s3dis.py`): Pointcept
+    per-room archives with coord/color/(normal)/semantic_gt; splits are
+    Area folds (e.g. split="Area_5" or a sequence of areas)."""
+
+    def get_data(self, idx: int) -> Dict:
+        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        coord = np.asarray(data["coord"], np.float32)
+        out = dict(coord=coord)
+        for k in ("color", "normal"):
+            if k in data:
+                out[k] = np.asarray(data[k], np.float32)
+        seg = data.get("semantic_gt", data.get("segment"))
+        out["segment"] = (
+            np.asarray(seg).reshape(-1).astype(np.int64)
+            if seg is not None
+            else np.full((coord.shape[0],), self.ignore_index, np.int64)
+        )
+        return out
+
+
+@DATASETS.register_module()
+class SemanticKITTIDataset(DefaultDataset):
+    """SemanticKITTI scans (reference `pointcept/datasets/semantic_kitti.py`):
+    velodyne .bin (x,y,z,remission) + .label files through the 19-class
+    learning map."""
+
+    SPLIT_SEQUENCES = {
+        "train": ["00", "01", "02", "03", "04", "05", "06", "07", "09", "10"],
+        "val": ["08"],
+        "test": ["11", "12", "13", "14", "15", "16", "17", "18", "19", "20", "21"],
+    }
+
+    def __init__(self, **kwargs):
+        ignore_index = kwargs.get("ignore_index", -1)
+        self.learning_map = self.get_learning_map(ignore_index)
+        super().__init__(**kwargs)
+
+    def get_data_list(self):
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        seqs = []
+        for s in splits:
+            seqs += self.SPLIT_SEQUENCES.get(s, [s])
+        out = []
+        for seq in seqs:
+            out += sorted(
+                glob.glob(
+                    os.path.join(
+                        self.data_root, "dataset", "sequences", seq,
+                        "velodyne", "*.bin",
+                    )
+                )
+            )
+        return out
+
+    def get_data(self, idx: int) -> Dict:
+        bin_path = self.data_list[idx % len(self.data_list)]
+        scan = np.fromfile(bin_path, dtype=np.float32).reshape(-1, 4)
+        coord = scan[:, :3]
+        strength = scan[:, 3:4]
+        label_path = bin_path.replace("velodyne", "labels").replace(".bin", ".label")
+        if os.path.exists(label_path):
+            raw = np.fromfile(label_path, dtype=np.uint32) & 0xFFFF
+            lut = np.full((max(self.learning_map) + 1,), self.ignore_index, np.int64)
+            for k, v in self.learning_map.items():
+                lut[k] = v
+            segment = lut[np.clip(raw, 0, len(lut) - 1)]
+        else:
+            segment = np.full((coord.shape[0],), self.ignore_index, np.int64)
+        return dict(coord=coord, strength=strength, segment=segment)
+
+    def get_data_name(self, idx: int) -> str:
+        p = self.data_list[idx % len(self.data_list)]
+        seq = os.path.basename(os.path.dirname(os.path.dirname(p)))
+        return f"{seq}_{os.path.splitext(os.path.basename(p))[0]}"
+
+    @staticmethod
+    def get_learning_map(ignore_index: int) -> Dict[int, int]:
+        # semantic-kitti.yaml learning map (19 classes)
+        return {
+            0: ignore_index, 1: ignore_index, 10: 0, 11: 1, 13: 4, 15: 2,
+            16: 4, 18: 3, 20: 4, 30: 5, 31: 6, 32: 7, 40: 8, 44: 9, 48: 10,
+            49: 11, 50: 12, 51: 13, 52: ignore_index, 60: 8, 70: 14, 71: 15,
+            72: 16, 80: 17, 81: 18, 99: ignore_index, 252: 0, 253: 6, 254: 5,
+            255: 7, 256: 4, 257: 4, 258: 3, 259: 4,
+        }
+
+
+@DATASETS.register_module()
+class ModelNetDataset(DefaultDataset):
+    """ModelNet40 classification (reference `pointcept/datasets/modelnet.py`):
+    per-shape txt/npy points, label from the directory name."""
+
+    def get_data_list(self):
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        out = []
+        for s in splits:
+            list_file = os.path.join(self.data_root, f"modelnet40_{s}.txt")
+            if os.path.exists(list_file):
+                names = [ln.strip() for ln in open(list_file)]
+                out += [
+                    os.path.join(self.data_root, "_".join(n.split("_")[:-1]), n)
+                    for n in names
+                ]
+        return out
+
+    def get_data(self, idx: int) -> Dict:
+        path = self.data_list[idx % len(self.data_list)]
+        if os.path.exists(path + ".npy"):
+            pts = np.load(path + ".npy")
+        else:
+            pts = np.loadtxt(path + ".txt", delimiter=",").astype(np.float32)
+        cls_name = os.path.basename(os.path.dirname(path))
+        names = sorted(
+            d for d in os.listdir(self.data_root)
+            if os.path.isdir(os.path.join(self.data_root, d))
+        )
+        label = names.index(cls_name) if cls_name in names else -1
+        return dict(
+            coord=pts[:, :3].astype(np.float32),
+            normal=pts[:, 3:6].astype(np.float32) if pts.shape[1] >= 6 else None,
+            segment=np.full((pts.shape[0],), label, np.int64),
+            category=np.int64(label),
+        )

@@ -546,3 +546,72 @@ class Add:
     def __call__(self, data, rng=None):
         data.update(self.keys_dict)
         return data
+
+
+@TRANSFORMS.register_module()
+class HueSaturationTranslation:
+    """HSV-space hue/saturation jitter (reference `transform.py:651-716`)."""
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    @staticmethod
+    def rgb_to_hsv(rgb):
+        hsv = np.zeros_like(rgb)
+        maxc = rgb.max(-1)
+        minc = rgb.min(-1)
+        delta = maxc - minc
+        hsv[..., 2] = maxc
+        m = maxc > 0
+        hsv[..., 1][m] = delta[m] / maxc[m]
+        dz = delta.copy()
+        dz[delta == 0] = 1.0
+        rc = (maxc - rgb[..., 0]) / dz
+        gc = (maxc - rgb[..., 1]) / dz
+        bc = (maxc - rgb[..., 2]) / dz
+        h = 4.0 + gc - rc
+        h[rgb[..., 1] == maxc] = (2.0 + rc - bc)[rgb[..., 1] == maxc]
+        h[rgb[..., 0] == maxc] = (bc - gc)[rgb[..., 0] == maxc]
+        h[delta == 0] = 0.0
+        hsv[..., 0] = (h / 6.0) % 1.0
+        return hsv
+
+    @staticmethod
+    def hsv_to_rgb(hsv):
+        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        i = np.floor(h * 6.0)
+        f = h * 6.0 - i
+        p = v * (1 - s)
+        q = v * (1 - s * f)
+        t = v * (1 - s * (1 - f))
+        i = i.astype(int) % 6
+        out = np.zeros_like(hsv)
+        lut = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)]
+        for k, (r, g, b) in enumerate(lut):
+            m = i == k
+            out[..., 0][m] = r[m]
+            out[..., 1][m] = g[m]
+            out[..., 2][m] = b[m]
+        return out
+
+    def __call__(self, data, rng):
+        if "color" in data:
+            hsv = self.rgb_to_hsv(data["color"][:, :3] / 255.0)
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-self.hue_max, self.hue_max)) % 1.0
+            hsv[..., 1] = np.clip(
+                hsv[..., 1] + rng.uniform(-self.saturation_max, self.saturation_max),
+                0, 1,
+            )
+            data["color"][:, :3] = np.clip(self.hsv_to_rgb(hsv) * 255.0, 0, 255)
+        return data
+
+
+@TRANSFORMS.register_module()
+class CropBoundary:
+    """Drop boundary-labeled points (reference `transform.py:1060-1075`)."""
+
+    def __call__(self, data, rng=None):
+        seg = data["segment"]
+        keep = np.where((seg != 0) & (seg != 1))[0]
+        return take(data, keep)

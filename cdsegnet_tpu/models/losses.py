@@ -99,6 +99,45 @@ def lovasz_softmax_loss(
     return jnp.sum(losses * pres) / jnp.maximum(jnp.sum(pres), 1.0)
 
 
+def smooth_ce_loss(
+    logits, target, valid, smoothing_ratio: float = 0.1
+) -> jnp.ndarray:
+    """Label-smoothed CE (reference `misc.py:131-145`)."""
+    return cross_entropy_loss(logits, target, valid, label_smoothing=smoothing_ratio)
+
+
+def binary_focal_loss(
+    logits, target, valid, gamma: float = 2.0, alpha: float = 0.5
+) -> jnp.ndarray:
+    """Binary focal loss on logits (reference `misc.py:148-182`)."""
+    t = target.astype(jnp.float32)
+    x = logits.astype(jnp.float32)
+    bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    pt = jnp.exp(-bce)
+    a = alpha * t + (1 - alpha) * (1 - t)
+    return masked_mean(a * (1 - pt) ** gamma * bce, valid)
+
+
+def subsample_valid(
+    valid: jnp.ndarray,
+    batch: jnp.ndarray,
+    num_scenes: int,
+    per_scene: int,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Randomly keep ~``per_scene`` valid points per scene (static-shape
+    analogue of the reference MSE `batch_sample_point` subsampling,
+    `misc.py:56-72`): Bernoulli thinning with rate per_scene/count."""
+    cnt = jax.ops.segment_sum(
+        valid.astype(jnp.float32), jnp.clip(batch, 0, num_scenes - 1), num_scenes
+    )
+    rate = jnp.clip(per_scene / jnp.maximum(cnt, 1.0), 0.0, 1.0)
+    keep = jax.random.uniform(key, valid.shape) < rate[
+        jnp.clip(batch, 0, num_scenes - 1)
+    ]
+    return valid & keep
+
+
 def focal_loss(
     logits, target, valid, gamma: float = 2.0, alpha: float = 0.5
 ) -> jnp.ndarray:
@@ -172,6 +211,19 @@ class Criteria:
             elif kind == "FocalLoss":
                 terms.append(
                     w * focal_loss(out["n_pred"], out["n_target"], out["seg_valid"])
+                )
+            elif kind == "SmoothCELoss":
+                terms.append(
+                    w * smooth_ce_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        cfg.get("smoothing_ratio", 0.1),
+                    )
+                )
+            elif kind == "BinaryFocalLoss":
+                terms.append(
+                    w * binary_focal_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"]
+                    )
                 )
             elif kind == "DiceLoss":
                 terms.append(

@@ -659,7 +659,9 @@ class PointTransformerV3(nn.Module):
                     order_index=i % len(self.orders),
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
-                    upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+                    enable_rpe=self.enable_rpe,
+                    upcast_softmax=self.upcast_softmax,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
                     name=f"n_enc{s}_block{i}",
                 )(npt, deterministic)
             if s < len(self.n_enc_depths) - 1:

@@ -12,6 +12,10 @@ from cdsegnet_tpu.parallel.mesh import make_mesh
 from helpers import synthetic_batch
 from test_model import RNGS, TINY_MODEL
 
+# the pallas kernel only runs on TPU; this test drives a CPU mesh
+CPU_MODEL = dict(TINY_MODEL)
+CPU_MODEL["backbone"] = dict(TINY_MODEL["backbone"], use_pallas=False)
+
 import optax
 
 NUM_POINTS, DEPTH, NUM_SCENES = 256, 6, 2
@@ -35,7 +39,7 @@ def test_dp_train_step_8dev():
     from conftest import cpu_devices
 
     devs = cpu_devices(8)
-    model = build_model(TINY_MODEL)
+    model = build_model(CPU_MODEL)
     criteria = build_criteria(
         [
             dict(type="MSELoss", loss_weight=1.0),
