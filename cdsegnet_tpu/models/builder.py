@@ -37,7 +37,6 @@ def build_ptv3(**cfg: Any) -> PointTransformerV3:
         "enable_flash", "upcast_attention", "cls_mode",
         "pdnorm_bn", "pdnorm_ln", "pdnorm_decouple", "pdnorm_adaptive",
         "pdnorm_affine", "pdnorm_conditions", "pre_norm", "attn_drop",
-        "tm_restomer", "b_factor", "s_factor",
     }
     skip_mode = cfg.pop("skip_connection_mode", "cat")
     skip_scale = cfg.pop("skip_connection_scale", True)

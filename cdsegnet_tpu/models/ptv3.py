@@ -276,15 +276,45 @@ class PoolingProj(nn.Module):
         return nn.gelu(f, approximate=False)
 
 
+def fourier_filter(feat: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
+    """FreeU skip-feature Fourier filtering (reference `:42-66`): FFT over
+    (C, N), damp the centered low-frequency band of the point axis by
+    ``scale``, inverse FFT."""
+    x = feat.astype(jnp.float32).T[None]  # (1, C, N)
+    xf = jnp.fft.fftshift(jnp.fft.fftn(x, axes=(-2, -1)), axes=(-2, -1))
+    n = x.shape[-1]
+    crow = n // 2
+    mask = jnp.ones(x.shape, jnp.float32)
+    mask = mask.at[..., crow - threshold: crow + threshold].set(scale)
+    xf = xf * mask
+    out = jnp.fft.ifftn(jnp.fft.ifftshift(xf, axes=(-2, -1)), axes=(-2, -1)).real
+    return out[0].T.astype(feat.dtype)
+
+
+def freeu_backbone_scale(feat: jnp.ndarray, b: float) -> jnp.ndarray:
+    """FreeU backbone-feature channel scaling (reference `:68-100`): scale the
+    first C/2 channels by (b-1) * normalized channel-mean + 1."""
+    x = feat.astype(jnp.float32)
+    m = jnp.mean(x, axis=1, keepdims=True)  # (N, 1)
+    m = (m - m.min()) / jnp.maximum(m.max() - m.min(), 1e-8)
+    c_half = feat.shape[1] // 2
+    scale = (b - 1.0) * m + 1.0
+    scaled = jnp.concatenate([x[:, :c_half] * scale, x[:, c_half:]], axis=1)
+    return scaled.astype(feat.dtype)
+
+
 class UnpoolingProj(nn.Module):
     """proj / proj_skip (+BN+GELU each) then add or concat fusion
-    (reference SerializedUnpooling `:558-630`)."""
+    (reference SerializedUnpooling `:558-630`); optional FreeU filtering
+    of the skip path (`b`/`s` factors, reference `:607-620`)."""
 
     in_channels: int
     skip_channels: int
     out_channels: int
     mode: str = "add"  # "add" | "cat"
     skip_scale: float = 1.0
+    freeu_b: float = 1.0
+    freeu_s: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -302,6 +332,9 @@ class UnpoolingProj(nn.Module):
         s = nn.gelu(s, approximate=False)
         if self.skip_scale != 1.0:
             s = s * jnp.asarray(self.skip_scale, s.dtype)
+        if self.freeu_b != 1.0 or self.freeu_s != 1.0:
+            f = freeu_backbone_scale(f, self.freeu_b)
+            s = fourier_filter(s, threshold=1, scale=self.freeu_s)
         for l in range(hi, lo, -1):
             f = pyr.unpool_features(f, levels[l])
         if self.mode == "add":
@@ -356,6 +389,74 @@ class CrossAttention(nn.Module):
         return q_point.replace(feat=feat)
 
 
+class CrossRestomer(nn.Module):
+    """Restomer-style cross attention: channel attention with depthwise convs
+    over the serialized sequence and a learned temperature (reference
+    `SerializedCrossRestomer`, `:666-856`). Ablation option `tm_restomer`."""
+
+    q_channels: int
+    kv_channels: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    def _dwconv(self, x, name):
+        # depthwise conv k3 along the sorted sequence; x: (N, C)
+        c = x.shape[-1]
+        w = self.param(
+            name, nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (3, 1, c), jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype).T[None],  # (1, C, N)
+            w.astype(self.dtype).transpose(2, 1, 0).reshape(c, 1, 3),
+            window_strides=(1,), padding=((1, 1),),
+            feature_group_count=c,
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return y[0].T  # (N, C)
+
+    @nn.compact
+    def __call__(self, q_point: PointBatch, kv_point: PointBatch,
+                 order_index: int = 0, deterministic: bool = True):
+        c, h = self.q_channels, self.num_heads
+        n = q_point.num_points
+        q_order = q_point.orders[order_index]
+        q_inverse = q_point.inverses[order_index]
+        kv_order = kv_point.orders[order_index]
+        qf = jnp.where(
+            q_point.mask[:, None], q_point.feat, 0.0
+        ).astype(self.dtype)
+        kvf = jnp.where(
+            kv_point.mask[:, None], kv_point.feat, 0.0
+        ).astype(self.dtype)
+        q = self._dwconv(
+            nn.Dense(c, dtype=self.dtype, name="q")(qf), "q_dw"
+        )
+        kv = self._dwconv(
+            nn.Dense(2 * c, dtype=self.dtype, name="kv")(kvf), "kv_dw"
+        )
+        q = jnp.take(q, q_order, axis=0)
+        kv = jnp.take(kv, kv_order, axis=0)
+        k, v = kv[:, :c], kv[:, c:]
+        # (N, C) -> (H, C/H, N); channel attention per head
+        d = c // h
+        qh = q.T.reshape(h, d, n).astype(jnp.float32)
+        kh = k.T.reshape(h, d, n).astype(jnp.float32)
+        vh = v.T.reshape(h, d, n).astype(jnp.float32)
+        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-6)
+        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-6)
+        temp = self.param("temperature", nn.initializers.ones, (h, 1, 1),
+                          jnp.float32)
+        attn = jax.nn.softmax(
+            jnp.einsum("hdn,hen->hde", qh, kh) * temp, axis=-1
+        )
+        out = jnp.einsum("hde,hen->hdn", attn, vh)  # (H, D, N)
+        out = out.reshape(c, n).T.astype(self.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        feat = jnp.take(out, q_inverse, axis=0)
+        return q_point.replace(feat=feat)
+
+
 class CrossBlock(nn.Module):
     """CNF fusion block: per-branch xCPE, cross attention with optional
     learned fusion gates, FFN (reference `:1058-1223`)."""
@@ -370,6 +471,7 @@ class CrossBlock(nn.Module):
     proj_drop: float = 0.0
     drop_path_rate: float = 0.0
     tm_feat: object = 1.0  # scalar | "channel_scale" | "b_channel_scale" | "lr_scale" | "b_lr_scale"
+    tm_restomer: bool = False
     upcast_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -397,15 +499,24 @@ class CrossBlock(nn.Module):
 
         qn = LayerNorm(qc, dtype=self.dtype, name="q_norm1")(q_feat)
         kn = LayerNorm(kc, dtype=self.dtype, name="kv_norm1")(kv_feat)
-        attn_out = CrossAttention(
-            q_channels=qc, kv_channels=kc, num_heads=self.num_heads,
-            patch_size=self.patch_size, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, proj_drop=self.proj_drop,
-            upcast_softmax=self.upcast_softmax, dtype=self.dtype, name="attn",
-        )(
-            q_point.replace(feat=qn), kv_point.replace(feat=kn),
-            order_index, deterministic,
-        ).feat
+        if self.tm_restomer:
+            attn_out = CrossRestomer(
+                q_channels=qc, kv_channels=kc, num_heads=self.num_heads,
+                dtype=self.dtype, name="attn",
+            )(
+                q_point.replace(feat=qn), kv_point.replace(feat=kn),
+                order_index, deterministic,
+            ).feat
+        else:
+            attn_out = CrossAttention(
+                q_channels=qc, kv_channels=kc, num_heads=self.num_heads,
+                patch_size=self.patch_size, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                upcast_softmax=self.upcast_softmax, dtype=self.dtype, name="attn",
+            )(
+                q_point.replace(feat=qn), kv_point.replace(feat=kn),
+                order_index, deterministic,
+            ).feat
         rng = (
             self.make_rng("dropout")
             if (not deterministic and self.drop_path_rate > 0.0)
@@ -475,6 +586,7 @@ class TransferModule(nn.Module):
     drop_path_rate: float = 0.0
     bidirectional: bool = False
     tm_feat: object = 1.0
+    tm_restomer: bool = False
     upcast_softmax: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -488,6 +600,7 @@ class TransferModule(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, proj_drop=self.proj_drop,
                 drop_path_rate=self.drop_path_rate, tm_feat=self.tm_feat,
+                tm_restomer=self.tm_restomer,
                 upcast_softmax=self.upcast_softmax, dtype=self.dtype,
                 name="cross_block1",
             )(c_point, n_point, 0, deterministic)
@@ -497,6 +610,7 @@ class TransferModule(nn.Module):
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, proj_drop=self.proj_drop,
             drop_path_rate=self.drop_path_rate, tm_feat=self.tm_feat,
+            tm_restomer=self.tm_restomer,
             upcast_softmax=self.upcast_softmax, dtype=self.dtype,
             name="cross_block2",
         )(n_point, c_point, 0, deterministic)
@@ -557,6 +671,7 @@ class PointTransformerV3(nn.Module):
     condition: bool = False
     tm_bidirectional: bool = False
     tm_feat: object = 1.0
+    tm_restomer: bool = False
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -565,6 +680,9 @@ class PointTransformerV3(nn.Module):
     n_skip_mode: str = "add"
     c_skip_mode: str = "cat"
     c_skip_scale: float = (0.8 ** -1) * (2.0 ** -0.5)
+    # FreeU factors per n-decoder stage (reference b_factor/s_factor; 1.0 = off)
+    b_factor: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    s_factor: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
 
     capacity_div: Tuple[int, ...] = (1, 2, 4, 16, 64)
     dtype: jnp.dtype = jnp.float32
@@ -716,6 +834,7 @@ class PointTransformerV3(nn.Module):
                 qk_scale=self.qk_scale, proj_drop=self.proj_drop,
                 drop_path_rate=float(c_dp[2] if len(c_dp) > 2 else 0.0),
                 bidirectional=self.tm_bidirectional, tm_feat=self.tm_feat,
+                tm_restomer=self.tm_restomer,
                 upcast_softmax=self.upcast_softmax, dtype=self.dtype,
                 name="tm_dec0",
             )(cpt, npt, deterministic)
@@ -728,7 +847,9 @@ class PointTransformerV3(nn.Module):
             hi, lo = self.n_shifts[s + 1], self.n_shifts[s]
             n_feat = UnpoolingProj(
                 n_dec_ch[s + 1], self.n_enc_channels[s], n_dec_ch[s],
-                mode=self.n_skip_mode, dtype=self.dtype, name=f"n_dec{s}_up",
+                mode=self.n_skip_mode,
+                freeu_b=float(self.b_factor[s]), freeu_s=float(self.s_factor[s]),
+                dtype=self.dtype, name=f"n_dec{s}_up",
             )(n_feat, n_skips[s], levels, hi, lo, levels[lo].point.mask, train)
             npt = self._attach(None, levels[lo], n_feat)
             dp_slice = n_ddp[sum(self.n_dec_depths[:s]): sum(self.n_dec_depths[: s + 1])]

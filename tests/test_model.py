@@ -168,3 +168,20 @@ def test_rpe_attention(rng):
     out = jax.jit(lambda v, p: mod.apply(v, p))(variables, pt)
     assert out.feat.shape == (192, 16)
     assert np.isfinite(np.asarray(out.feat)).all()
+
+
+def test_freeu_and_restomer_options(rng):
+    """FreeU skip filtering + Restomer cross attention compile and run."""
+    from helpers import synthetic_batch
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    bb = dict(TINY_BACKBONE)
+    bb["b_factor"] = (1.2, 1.0, 1.0, 1.0)
+    bb["s_factor"] = (0.9, 1.0, 1.0, 1.0)
+    bb["tm_restomer"] = True
+    model = build_model(dict(TINY_MODEL, backbone=bb))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(
+        lambda v, p: model.apply(v, p, train=True, rngs=RNGS, mutable=["batch_stats"])
+    )(variables, pt)[0]
+    assert np.isfinite(np.asarray(out["n_pred"])).all()
