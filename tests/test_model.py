@@ -185,3 +185,29 @@ def test_freeu_and_restomer_options(rng):
         lambda v, p: model.apply(v, p, train=True, rngs=RNGS, mutable=["batch_stats"])
     )(variables, pt)[0]
     assert np.isfinite(np.asarray(out["n_pred"])).all()
+
+
+def test_remat_blocks_grads(rng):
+    """Rematerialized blocks produce the same loss and finite grads."""
+    from helpers import synthetic_batch
+    from cdsegnet_tpu.models.losses import Criteria
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    bb = dict(TINY_BACKBONE, remat_blocks=True, drop_path=0.0)
+    model = build_model(dict(TINY_MODEL, backbone=bb))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    criteria = Criteria(
+        [dict(type="MSELoss"), dict(type="CrossEntropyLoss"),
+         dict(type="LovaszLoss")], loss_type="GLS",
+    )
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        return criteria(out, mode="train")
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
