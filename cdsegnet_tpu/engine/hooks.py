@@ -144,12 +144,27 @@ class SemSegEvaluator(HookBase):
         union_sum = np.zeros(num_classes)
         target_sum = np.zeros(num_classes)
         rng = jax.random.PRNGKey(tr.cfg.get("seed", 0) + tr.epoch)
-        for batch, _scene in tr.val_loader:
+        for batch, scene in tr.val_loader:
             rng, sub = jax.random.split(rng)
             out = tr.eval_step(tr.state, batch, sub)
             pred = np.asarray(out["seg_logits"]).argmax(-1)
             seg = batch["segment"]
             valid = batch["mask"]
+            if "origin_coord" in scene:
+                # map grid-sampled predictions back to original points via
+                # 1-NN (reference `hooks/evaluator.py:132-141`)
+                from cdsegnet_tpu.ops.pointops import knn_remap_labels
+
+                n_real = int(valid.sum())
+                pred = np.asarray(
+                    knn_remap_labels(
+                        jax.numpy.asarray(scene["origin_coord"]),
+                        jax.numpy.asarray(batch["coord"][:n_real]),
+                        jax.numpy.asarray(pred[:n_real]),
+                    )
+                )
+                seg = np.asarray(scene["origin_segment"]).reshape(-1)
+                valid = np.ones_like(seg, bool)
             i, u, t = intersection_and_union_jnp(
                 jax.numpy.asarray(pred), jax.numpy.asarray(seg), num_classes,
                 jax.numpy.asarray(valid),

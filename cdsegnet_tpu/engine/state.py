@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cdsegnet_tpu.models.losses import Criteria
 from cdsegnet_tpu.models.structure import PointBatch, make_point_batch
