@@ -120,18 +120,90 @@ def _fwd(q, k, v, batch_sorted, valid_sorted, patch_size, scale,
     return out, (q, k, v, batch_sorted, valid_sorted)
 
 
+def _attn_bwd_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale):
+    """Fused backward: recompute masked softmax in VMEM, emit dq/dk/dv."""
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)
+    k = k_ref[0, 0].astype(f32)
+    v = v_ref[0, 0].astype(f32)
+    g = g_ref[0, 0].astype(f32)
+    s = jax.lax.dot_general(
+        q * jnp.float32(scale), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    b = b_ref[0, 0]
+    valid = m_ref[0, 0]
+    allowed = (b[:, None] == b[None, :]) & (valid[None, :] > 0)
+    s = jnp.where(allowed, s, jnp.float32(NEG))
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - mx)
+    den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), jnp.float32(1e-20))
+    p = e / den  # (K, K)
+    # dV = P^T g
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(dv_ref.dtype)
+    # dP = g V^T ; ds = P * (dP - rowsum(dP * P))
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # dQ = ds K * scale ; dK = ds^T Q * scale
+    dq_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        * jnp.float32(scale)
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        * jnp.float32(scale)
+    ).astype(dk_ref.dtype)
+
+
 def _bwd(patch_size, scale, upcast_softmax, interpret, res, g):
     q, k, v, batch_sorted, valid_sorted = res
-    # Recompute-through-XLA backward: differentiate the reference einsum path.
-    def f(q, k, v):
-        return patch_attention(
-            q, k, v, batch_sorted, valid_sorted, patch_size, scale,
-            upcast_softmax=True,
-        )
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None, None
+    n, h, d = q.shape
+    p = n // patch_size
+    kk = patch_size
+    to_p = lambda x: x.reshape(p, kk, h, d).transpose(0, 2, 1, 3)
+    qp, kp, vp, gp = to_p(q), to_p(k), to_p(v), to_p(g)
+    bp = batch_sorted.reshape(p, 1, kk).astype(jnp.int32)
+    mp = valid_sorted.reshape(p, 1, kk).astype(jnp.int32)
+    blk = lambda: pl.BlockSpec(
+        (1, 1, kk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    bblk = pl.BlockSpec(
+        (1, 1, kk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    with jax.enable_x64(False):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, scale=scale),
+            grid=(p, h),
+            in_specs=[bblk, bblk, blk(), blk(), blk(), blk()],
+            out_specs=(blk(), blk(), blk()),
+            out_shape=(
+                jax.ShapeDtypeStruct((p, h, kk, d), q.dtype),
+                jax.ShapeDtypeStruct((p, h, kk, d), k.dtype),
+                jax.ShapeDtypeStruct((p, h, kk, d), v.dtype),
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=10 * kk * kk * d * p * h,
+                bytes_accessed=(4 * kk * d * 2 + 3 * kk * d * 2) * p * h,
+                transcendentals=kk * kk * p * h,
+            ),
+        )(bp, mp, qp, kp, vp, gp)
+    back = lambda x: x.transpose(0, 2, 1, 3).reshape(n, h, d)
+    return back(dq), back(dk), back(dv), None, None
 
 
 flash_patch_attention.defvjp(_fwd, _bwd)
