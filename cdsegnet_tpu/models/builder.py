@@ -138,3 +138,4 @@ def build_model(cfg: Dict[str, Any]):
 # model-zoo families register themselves against MODELS on import
 import cdsegnet_tpu.models.spunet  # noqa: E402,F401  (registers SpUNet/MinkUNet)
 import cdsegnet_tpu.models.ptv2  # noqa: E402,F401  (registers PT-v1, PT-v2m2)
+import cdsegnet_tpu.models.pointgroup  # noqa: E402,F401  (registers PointGroup)

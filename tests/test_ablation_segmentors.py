@@ -107,3 +107,41 @@ def test_ptv2_and_ptv1(rng):
         import numpy as np
 
         assert np.isfinite(np.asarray(out.feat)).all()
+
+
+def test_pointgroup_cluster(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.pointgroup import connected_components
+
+    # two well-separated blobs -> two components
+    a = rng.randn(40, 3).astype(np.float32) * 0.01
+    b = rng.randn(40, 3).astype(np.float32) * 0.01 + 5.0
+    coord = jnp.asarray(np.concatenate([a, b]))
+    valid = jnp.asarray(np.ones(80, bool))
+    labels = np.asarray(connected_components(coord, valid, radius=0.2, nsample=8))
+    assert len(set(labels[:40].tolist())) == 1
+    assert len(set(labels[40:].tolist())) == 1
+    assert labels[0] != labels[40]
+
+
+def test_pointgroup_model(rng):
+    import jax
+
+    pt = synthetic_batch(rng, counts=(100, 60), num_points=192, depth=6)
+    bb = dict(TINY_BACKBONE)
+    bb["condition"] = False
+    model = build_model(dict(type="PointGroup", backbone=bb, num_classes=5))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+    assert out["n_pred"].shape == (192, 5)
+    assert out["offset_pred"].shape == (192, 3)
+    import numpy as np
+
+    sem = np.asarray(out["n_pred"]).argmax(-1)
+    clusters = model.apply(
+        variables, pt, jax.numpy.asarray(sem), out["offset_pred"],
+        method=type(model).cluster,
+    )
+    assert clusters.shape == (192,)

@@ -211,3 +211,19 @@ def test_remat_blocks_grads(rng):
     loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_ddim_msai_inference(model_and_vars):
+    """MSAI multi-step DDIM inference runs and averages finite logits."""
+    from cdsegnet_tpu.models.segmentor import inference_ddim
+
+    model, variables, pt = model_and_vars
+    logits = inference_ddim(
+        model, variables, pt, jax.random.PRNGKey(11), step=3, mode="avg"
+    )
+    assert logits.shape == (256, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+    final = inference_ddim(
+        model, variables, pt, jax.random.PRNGKey(11), step=2, mode="final"
+    )
+    assert np.isfinite(np.asarray(final)).all()
