@@ -10,6 +10,7 @@ machinery entirely (bf16 needs no loss scaling).
 from __future__ import annotations
 
 import functools
+import inspect
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -17,7 +18,20 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax import shard_map
+
+_SHARD_MAP_PARAMS = frozenset(inspect.signature(jax.shard_map).parameters)
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across JAX versions: the replication-check kwarg was renamed
+    `check_rep` -> `check_vma`; we disable it either way (outputs are pmean-ed
+    to replicated, which the static checker cannot always prove)."""
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    if "check_vma" in _SHARD_MAP_PARAMS:
+        kwargs["check_vma"] = False
+    elif "check_rep" in _SHARD_MAP_PARAMS:
+        kwargs["check_rep"] = False
+    return jax.shard_map(f, **kwargs)
 
 from cdsegnet_tpu.models.losses import Criteria
 from cdsegnet_tpu.models.structure import PointBatch, make_point_batch
@@ -125,12 +139,11 @@ def make_train_step(
         local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         return local_step(state, local_batch, dev)
 
-    smapped = shard_map(
+    smapped = _shard_map(
         sharded,
         mesh=mesh,
         in_specs=(state_spec, batch_spec),
         out_specs=(state_spec, P()),
-        check_rep=False,
     )
     return jax.jit(smapped)
 
