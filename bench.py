@@ -68,14 +68,35 @@ def main():
     compile_s = time.time() - t0
 
 
+    # dispatch all iterations (the device stream executes them in order),
+    # then force ONE host read: a per-iteration read would add the ~32 ms
+    # relay round-trip latency to every step and measure the tunnel, not
+    # the chip
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         out = ssi(variables, point, noise)
-        _ = float(jnp.sum(out))
+    _ = float(jnp.sum(out))
     dt = (time.time() - t0) / iters
 
     pts_per_sec = n_real / dt
+
+    extra = dict(
+        step_ms=round(dt * 1e3, 2),
+        n_points=n_real,
+        init_s=round(init_s, 1),
+        compile_s=round(compile_s, 1),
+        device=str(jax.devices()[0]),
+    )
+
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
+        extra.update(
+            train_points_per_sec_per_chip=round(train_pps, 1),
+            train_step_ms=round(train_ms, 2),
+            train_compile_s=round(train_compile_s, 1),
+        )
+
     print(
         json.dumps(
             dict(
@@ -83,16 +104,56 @@ def main():
                 value=round(pts_per_sec, 1),
                 unit="points/s",
                 vs_baseline=round(pts_per_sec / BASELINE_PTS_PER_SEC_PER_CHIP, 3),
-                extra=dict(
-                    step_ms=round(dt * 1e3, 2),
-                    n_points=n_real,
-                    init_s=round(init_s, 1),
-                    compile_s=round(compile_s, 1),
-                    device=str(jax.devices()[0]),
-                ),
+                extra=extra,
             )
         )
     )
+
+
+def bench_train(cfg, num_points):
+    """Full training step (fwd + bwd + AdamW, remat on, 2 scenes/bucket)."""
+    import optax  # noqa: F401
+
+    from cdsegnet_tpu.engine.optimizer import build_optimizer
+    from cdsegnet_tpu.engine.state import TrainState, make_train_step
+    from cdsegnet_tpu.models.losses import build_criteria
+
+    cfg = dict(cfg)
+    cfg["backbone"] = dict(cfg["backbone"], remat_blocks=True)
+    model = build_model(cfg)
+    criteria = build_criteria(cfg["criteria"], loss_type="GLS", task_num=2)
+    point = _synthetic_point_batch(num_points, 2, depth=10, seed=1)
+    n_real = int(np.asarray(point.mask).sum())
+    rngs = dict(
+        params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+        shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
+    tx = build_optimizer(
+        dict(type="AdamW", lr=2e-3, weight_decay=0.05),
+        variables["params"],
+        scheduler_cfg=dict(type="OneCycleLR", pct_start=0.5,
+                           div_factor=10.0, final_div_factor=1000.0),
+        total_steps=1000,
+        param_dicts=[dict(keyword="block", lr=2e-4)],
+    )
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, criteria, tx, 10, 2, mesh=None)
+    batch = dict(
+        coord=point.coord, grid_coord=point.grid_coord, feat=point.feat,
+        segment=point.segment, batch=point.batch, mask=point.mask,
+    )
+    t0 = time.time()
+    state, metrics = step_fn(state, batch)
+    _ = float(metrics["loss"])
+    compile_s = time.time() - t0
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    _ = float(metrics["loss"])
+    dt = (time.time() - t0) / iters
+    return n_real / dt, dt * 1e3, compile_s
 
 
 if __name__ == "__main__":

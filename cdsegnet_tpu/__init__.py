@@ -15,8 +15,23 @@ All floating point model state remains float32/bfloat16 by explicit dtype
 discipline (enforced by tests).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the flagship forward graph is large (~60
+# serialized-attention blocks) and cold compiles are minutes on the remote
+# toolchain; cache compiled executables across processes. Opt out with
+# CDSEG_NO_COMPILE_CACHE=1.
+if not os.environ.get("CDSEG_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "CDSEG_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 __version__ = "0.1.0"

@@ -54,6 +54,7 @@ class DefaultDataset:
         test_cfg: Optional[Dict] = None,
         loop: int = 1,
         ignore_index: int = -1,
+        cache: bool = False,
     ):
         self.split = split
         self.data_root = data_root
@@ -62,6 +63,7 @@ class DefaultDataset:
         self.test_cfg = test_cfg if test_mode else None
         self.loop = loop if not test_mode else 1
         self.ignore_index = ignore_index
+        self.cache = cache
         if test_mode:
             tc = dict(test_cfg or {})
             self.test_voxelize = (
@@ -84,8 +86,18 @@ class DefaultDataset:
             out += sorted(glob.glob(os.path.join(self.data_root, s, "*")))
         return out
 
+    def _load(self, path: str) -> Dict:
+        """Scene load, optionally memoized in the shared decode cache
+        (reference `DataCacheOperator` + SharedArray, `utils/cache.py:20-56`,
+        `scannet.py:44-60`)."""
+        if not self.cache:
+            return _load_scene(path)
+        from cdsegnet_tpu.data.cache import shared_dict
+
+        return shared_dict(path, lambda: _load_scene(path))
+
     def get_data(self, idx: int) -> Dict:
-        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        data = self._load(self.data_list[idx % len(self.data_list)])
         coord = np.asarray(data["coord"], np.float32)
         out = dict(coord=coord)
         for k in ("color", "normal", "strength"):
@@ -111,8 +123,10 @@ class DefaultDataset:
         """Per-TTA-aug fragment expansion (reference `defaults.py:115-155`)."""
         data = self.get_data(idx)
         segment = data.pop("segment")
-        data = self.transform(data, rng)
         result = dict(segment=segment, name=self.get_data_name(idx))
+        if "category" in data:
+            result["category"] = int(data.pop("category"))
+        data = self.transform(data, rng)
         fragment_list = []
         for aug in self.aug_transform:
             aug_data = aug(deepcopy(data), rng)
@@ -182,7 +196,7 @@ class ScanNetDataset(DefaultDataset):
         return super().get_data_list()
 
     def get_data(self, idx: int) -> Dict:
-        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        data = self._load(self.data_list[idx % len(self.data_list)])
         coord = np.asarray(data["coord"], np.float32)
         out = dict(
             coord=coord,
@@ -206,12 +220,30 @@ class ScanNetDataset(DefaultDataset):
         return out
 
 
+# ScanNet200 benchmark valid class ids (reference
+# `preprocessing/scannet/meta_data/scannet200_constants.py:91`).
+VALID_CLASS_IDS_200 = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 21, 22,
+    23, 24, 26, 27, 28, 29, 31, 32, 33, 34, 35, 36, 38, 39, 40, 41, 42, 44,
+    45, 46, 47, 48, 49, 50, 51, 52, 54, 55, 56, 57, 58, 59, 62, 63, 64, 65,
+    66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 80, 82, 84, 86,
+    87, 88, 89, 90, 93, 95, 96, 97, 98, 99, 100, 101, 102, 103, 104, 105,
+    106, 107, 110, 112, 115, 116, 118, 120, 121, 122, 125, 128, 130, 131,
+    132, 134, 136, 138, 139, 140, 141, 145, 148, 154, 155, 156, 157, 159,
+    161, 163, 165, 166, 168, 169, 170, 177, 180, 185, 188, 191, 193, 195,
+    202, 208, 213, 214, 221, 229, 230, 232, 233, 242, 250, 261, 264, 276,
+    283, 286, 300, 304, 312, 323, 325, 331, 342, 356, 370, 392, 395, 399,
+    408, 417, 488, 540, 562, 570, 572, 581, 609, 748, 776, 1156, 1163, 1164,
+    1165, 1166, 1167, 1168, 1169, 1170, 1171, 1172, 1173, 1174, 1175, 1176,
+    1178, 1179, 1180, 1181, 1182, 1183, 1184, 1185, 1186, 1187, 1188, 1189,
+    1190, 1191,
+)
+
+
 @DATASETS.register_module()
 class ScanNet200Dataset(ScanNetDataset):
     segment_key = "semantic_gt200"
-    # 200-class valid ids are loaded lazily from meta files when writing
-    # submissions; not needed for train/eval.
-    class2id = None
+    class2id = np.array(VALID_CLASS_IDS_200)
 
 
 @DATASETS.register_module()
@@ -302,7 +334,7 @@ class S3DISDataset(DefaultDataset):
     Area folds (e.g. split="Area_5" or a sequence of areas)."""
 
     def get_data(self, idx: int) -> Dict:
-        data = _load_scene(self.data_list[idx % len(self.data_list)])
+        data = self._load(self.data_list[idx % len(self.data_list)])
         coord = np.asarray(data["coord"], np.float32)
         out = dict(coord=coord)
         for k in ("color", "normal"):
@@ -332,6 +364,7 @@ class SemanticKITTIDataset(DefaultDataset):
     def __init__(self, **kwargs):
         ignore_index = kwargs.get("ignore_index", -1)
         self.learning_map = self.get_learning_map(ignore_index)
+        self.learning_map_inv = self.get_learning_map_inv(ignore_index)
         super().__init__(**kwargs)
 
     def get_data_list(self):
@@ -383,6 +416,83 @@ class SemanticKITTIDataset(DefaultDataset):
             255: 7, 256: 4, 257: 4, 258: 3, 259: 4,
         }
 
+    @staticmethod
+    def get_learning_map_inv(ignore_index: int) -> Dict[int, int]:
+        # learned id -> raw semantic-kitti label for benchmark submissions
+        # (reference `semantic_kitti.py:132-155`)
+        return {
+            ignore_index: ignore_index, 0: 10, 1: 11, 2: 15, 3: 18, 4: 20,
+            5: 30, 6: 31, 7: 32, 8: 40, 9: 44, 10: 48, 11: 49, 12: 50,
+            13: 51, 14: 70, 15: 71, 16: 72, 17: 80, 18: 81,
+        }
+
+
+@DATASETS.register_module()
+class ShapeNetPartDataset(DefaultDataset):
+    """ShapeNetPart (reference `pointcept/datasets/shapenet_part.py:23-160`):
+    per-shape txt files (x y z nx ny nz part_label), category from the synset
+    directory via ``synsetoffset2category.txt``, 50 part classes in 16
+    category-constrained spans (`category2part`)."""
+
+    CATEGORY2PART = {
+        "Airplane": [0, 1, 2, 3], "Bag": [4, 5], "Cap": [6, 7],
+        "Car": [8, 9, 10, 11], "Chair": [12, 13, 14, 15],
+        "Earphone": [16, 17, 18], "Guitar": [19, 20, 21], "Knife": [22, 23],
+        "Lamp": [24, 25, 26, 27], "Laptop": [28, 29],
+        "Motorbike": [30, 31, 32, 33, 34, 35], "Mug": [36, 37],
+        "Pistol": [38, 39, 40], "Rocket": [41, 42, 43],
+        "Skateboard": [44, 45, 46], "Table": [47, 48, 49],
+    }
+
+    def __init__(self, **kwargs):
+        data_root = kwargs.get("data_root", "data/shapenet_part")
+        self.categories: List[str] = []
+        self.token2category: Dict[str, int] = {}
+        cat_file = os.path.join(data_root, "synsetoffset2category.txt")
+        if os.path.isfile(cat_file):
+            with open(cat_file) as f:
+                for line in f:
+                    ls = line.strip().split()
+                    if len(ls) == 2:
+                        self.token2category[ls[1]] = len(self.categories)
+                        self.categories.append(ls[0])
+        self.category2part = {
+            c: self.CATEGORY2PART.get(c, []) for c in self.categories
+        }
+        super().__init__(**kwargs)
+
+    def get_data_list(self) -> List[str]:
+        import json
+
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        out = []
+        for s in splits:
+            split_file = os.path.join(
+                self.data_root, "train_test_split", f"shuffled_{s}_file_list.json"
+            )
+            with open(split_file) as f:
+                # entries look like "shape_data/<synset>/<name>"
+                out += [
+                    os.path.join(self.data_root, *d.split("/")[1:]) + ".txt"
+                    for d in json.load(f)
+                ]
+        return out
+
+    def get_data(self, idx: int) -> Dict:
+        path = self.data_list[idx % len(self.data_list)]
+        data = np.loadtxt(path).astype(np.float32)
+        token = os.path.basename(os.path.dirname(path))
+        return dict(
+            coord=data[:, :3],
+            normal=data[:, 3:6],
+            segment=data[:, 6].astype(np.int64),
+            category=np.int64(self.token2category.get(token, -1)),
+        )
+
+    def get_data_name(self, idx: int) -> str:
+        p = self.data_list[idx % len(self.data_list)]
+        return f"{os.path.basename(os.path.dirname(p))}_" \
+               f"{os.path.splitext(os.path.basename(p))[0]}"
 
 @DATASETS.register_module()
 class ModelNetDataset(DefaultDataset):

@@ -431,6 +431,28 @@ class GridSample:
         gmin = grid.min(0)
         grid -= gmin
         key = self.hash(grid)
+        if (
+            self.mode == "train"
+            and not self.return_inverse
+            and "sampled_index" not in data
+        ):
+            # fused C fast path: one sort + run-scan pass, no unique/cumsum
+            # temporaries (csrc/hostops.cpp grid_sample_pick; numpy fallback
+            # inside when the library is not built)
+            from cdsegnet_tpu.data import native
+
+            idx_unique = native.grid_sample_pick(
+                key.astype(np.uint64),
+                rng.integers(0, np.iinfo(np.int64).max, key.shape[0]),
+            )
+            if self.return_grid_coord:
+                data["grid_coord"] = grid[idx_unique]
+            if self.return_min_coord:
+                data["min_coord"] = (gmin * self.grid_size).reshape(1, 3)
+            for k in self.keys:
+                if k in data:
+                    data[k] = data[k][idx_unique]
+            return data
         idx_sort = np.argsort(key)
         key_sort = key[idx_sort]
         _, inverse, count = np.unique(key_sort, return_inverse=True,

@@ -48,6 +48,22 @@ class SemSegTester:
         self.noise_level = cfg.get("noise_level", None)
         self.save_path = cfg.get("save_path", "exp/default")
         self._jit_cache: Dict[int, callable] = {}
+        self._ddim_step = None
+        self._ddim_trace_count = 0  # observability: one trace per bucket shape
+
+    def _ddim_step_fn(self):
+        """One persistent jitted DDIM step, shape-specialized per bucket by
+        jax.jit's own cache — never re-jitted per fragment (round-1 weak #5:
+        a fresh `jax.jit(lambda ...)` per call recompiled every fragment)."""
+        if self._ddim_step is None:
+            model = self.model
+
+            def step(v, p, cf, t):
+                self._ddim_trace_count += 1  # runs only when tracing
+                return model.apply(v, p, cf, t, method=CNFSegmentor.denoise_step)
+
+            self._ddim_step = jax.jit(step)
+        return self._ddim_step
 
     # -- jitted per-bucket SSI forward ------------------------------------
     def _infer_fn(self, n: int):
@@ -99,6 +115,7 @@ class SemSegTester:
                 self.model, self._variables(), point, rng,
                 step=self.inference_step,
                 mode="avg" if self.inference_mode == "MSAI" else "final",
+                jit_step=self._ddim_step_fn(),
             )
         probs = jax.nn.softmax(np.asarray(logits)[:n_frag], axis=-1)
         return np.asarray(probs)
@@ -157,28 +174,40 @@ class SemSegTester:
         return miou
 
     def write_submission(self, ds, name: str, pred: np.ndarray):
-        """Benchmark submission files (reference `test.py:329-370`)."""
+        """Benchmark submission files (reference `test.py:329-370`).
+
+        - ScanNet / ScanNet200: per-scene txt of raw class ids
+          (`class2id[pred]`).
+        - SemanticKITTI: ``sequences/<seq>/predictions/<frame>.label`` uint32
+          files of `learning_map_inv`-remapped raw labels.
+        - nuScenes: ``lidarseg/test/<token>_lidarseg.bin`` uint8 files of
+          ``pred + 1`` (the lidarseg challenge's 1-based label space).
+        """
         sub_dir = os.path.join(self.save_path, "submit")
-        os.makedirs(sub_dir, exist_ok=True)
-        class2id = getattr(ds, "class2id", None)
         dataset_type = self.cfg.data.test.get("type", "")
-        if "ScanNet" in dataset_type and class2id is not None:
+        if dataset_type in ("ScanNetDataset", "ScanNet200Dataset"):
+            os.makedirs(sub_dir, exist_ok=True)
             np.savetxt(
                 os.path.join(sub_dir, f"{name}.txt"),
-                class2id[pred].reshape(-1, 1), fmt="%d",
+                ds.class2id[pred].reshape(-1, 1), fmt="%d",
             )
-        elif "Nu" in dataset_type:
-            # nuScenes lidarseg: uint8 labels in original 32-class space
-            inv = np.zeros(17, np.uint8)
-            for raw, learn in ds.learning_map.items():
-                if learn >= 0 and inv[learn] == 0:
-                    inv[learn] = raw
-            (pred.astype(np.uint8)).tofile(
-                os.path.join(sub_dir, f"{name}_lidarseg.bin")
+        elif dataset_type == "SemanticKITTIDataset":
+            seq_name, frame_name = name.split("_")
+            pred_dir = os.path.join(sub_dir, "sequences", seq_name, "predictions")
+            os.makedirs(pred_dir, exist_ok=True)
+            lut_keys = np.array(list(ds.learning_map_inv.keys()), np.int64)
+            lut = np.zeros(int(lut_keys.max()) + 1, np.uint32)
+            for k, v in ds.learning_map_inv.items():
+                if k >= 0:
+                    lut[k] = v
+            lut[np.clip(pred, 0, len(lut) - 1)].astype(np.uint32).tofile(
+                os.path.join(pred_dir, f"{frame_name}.label")
             )
-        elif "Kitti" in dataset_type.replace("KITTI", "Kitti"):
-            pred.astype(np.uint32).tofile(
-                os.path.join(sub_dir, f"{name}.label")
+        elif dataset_type == "NuScenesDataset":
+            out_dir = os.path.join(sub_dir, "lidarseg", "test")
+            os.makedirs(out_dir, exist_ok=True)
+            (pred + 1).astype(np.uint8).tofile(
+                os.path.join(out_dir, f"{name}_lidarseg.bin")
             )
 
 
@@ -236,12 +265,60 @@ class ClsTester:
 
 @TESTERS.register_module("PartSegTester")
 class PartSegTester(SemSegTester):
-    """Part segmentation tester (reference `test.py:483-591`): same
-    vote-accumulation machinery as SemSeg with category-constrained IoU —
-    shapes carry a `category` field restricting the valid part-label range
-    via `cfg.data.categories` (list of (start, end) part index spans)."""
+    """Part-segmentation tester (reference `test.py:483-591`): fragment vote
+    accumulation like SemSeg, then **category-constrained part IoU** — each
+    shape's IoU is averaged over only the part labels of its category
+    (``dataset.category2part``), with the reference's both-empty-parts = 1.0
+    rule; reports instance mIoU (per-shape average) and category mIoU
+    (per-category average of per-shape means)."""
 
-    def test(self):  # noqa: D102 - specialization documented above
-        # Part-label spans default to the whole class range when no
-        # category table is configured; behaviour then matches SemSeg.
-        return super().test()
+    def test(self) -> Optional[float]:
+        cfg = self.cfg
+        ds = build_dataset(dict(cfg.data.test))
+        categories = list(getattr(ds, "categories", []))
+        category2part = dict(getattr(ds, "category2part", {}))
+        if not categories:
+            # no category table configured: degenerate to plain SemSeg
+            return super().test()
+        n_cat = len(categories)
+        iou_category = np.zeros(n_cat)
+        iou_count = np.zeros(n_cat)
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        np_rng = np.random.default_rng(cfg.get("seed", 0))
+        num_classes = cfg.data.num_classes
+        for idx in range(len(ds)):
+            scene = ds.get(idx, np_rng)
+            segment = scene["segment"]
+            votes = np.zeros((segment.size, num_classes), np.float32)
+            for frag in scene["fragment_list"]:
+                rng, sub = jax.random.split(rng)
+                votes[frag["index"]] += self.predict_fragment(frag, sub)
+            pred = votes.argmax(-1)
+            cat_idx = int(scene["category"])
+            parts = category2part[categories[cat_idx]]
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                gt = segment == part
+                pd = pred == part
+                if not gt.any() and not pd.any():
+                    parts_iou[j] = 1.0
+                else:
+                    parts_iou[j] = (gt & pd).sum() / max((gt | pd).sum(), 1)
+            iou_category[cat_idx] += parts_iou.mean()
+            iou_count[cat_idx] += 1
+            if self.verbose:
+                self.logger.info(
+                    f"Test [{idx + 1}/{len(ds)}] {scene['name']} "
+                    f"({categories[cat_idx]}): shape IoU {parts_iou.mean():.4f}"
+                )
+        ins_miou = iou_category.sum() / max(iou_count.sum(), 1e-10)
+        cat_miou = float(np.mean(iou_category / np.maximum(iou_count, 1e-10)))
+        for i, name in enumerate(categories):
+            self.logger.info(
+                f"Category {name}: iou {iou_category[i] / max(iou_count[i], 1e-10):.4f} "
+                f"({int(iou_count[i])} shapes)"
+            )
+        self.logger.info(
+            f"PartSeg result: ins.mIoU {ins_miou:.4f} cat.mIoU {cat_miou:.4f}"
+        )
+        return float(ins_miou)

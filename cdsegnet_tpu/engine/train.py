@@ -63,19 +63,8 @@ class Trainer:
         self.mesh = make_mesh(num_devices) if num_devices > 1 else None
 
         # ---- data ----
-        train_ds_cfg = dict(cfg.data.train)
-        loop = max(cfg.epoch // self.max_epoch, 1) if "eval_epoch" in cfg else 1
-        train_ds_cfg.setdefault("loop", loop)
-        self.train_ds = build_dataset(train_ds_cfg)
         bucket = cfg.get("bucket_num_points", 102400 * cfg.get("scenes_per_device", 2))
-        self.train_loader = TrainLoader(
-            self.train_ds,
-            num_devices=num_devices if self.mesh is not None else 1,
-            scenes_per_device=cfg.get("scenes_per_device", 2),
-            num_points=bucket,
-            mix_prob=cfg.get("mix_prob", 0.0),
-            seed=cfg.get("seed", 0),
-        )
+        self.train_loader = self.build_train_loader(num_devices, bucket)
         self.steps_per_epoch = len(self.train_loader)
         self.total_steps = self.steps_per_epoch * self.max_epoch
 
@@ -138,6 +127,21 @@ class Trainer:
         for h in self.hooks:
             h.trainer = self
 
+    def build_train_loader(self, num_devices: int, bucket: int):
+        cfg = self.cfg
+        train_ds_cfg = dict(cfg.data.train)
+        loop = max(cfg.epoch // self.max_epoch, 1) if "eval_epoch" in cfg else 1
+        train_ds_cfg.setdefault("loop", loop)
+        self.train_ds = build_dataset(train_ds_cfg)
+        return TrainLoader(
+            self.train_ds,
+            num_devices=num_devices if self.mesh is not None else 1,
+            scenes_per_device=cfg.get("scenes_per_device", 2),
+            num_points=bucket,
+            mix_prob=cfg.get("mix_prob", 0.0),
+            seed=cfg.get("seed", 0),
+        )
+
     def _dummy_batch(self, num_points, depth, num_scenes):
         feat_dim = self.cfg.get("feat_dim", 6)
         import jax.numpy as jnp
@@ -184,5 +188,39 @@ class Trainer:
 
 @TRAINERS.register_module("MultiDatasetTrainer")
 class MultiDatasetTrainer(Trainer):
-    """Round-robin multi-dataset training (reference `train.py:355-372`);
-    datasets are concatenated via `ConcatDataset` with loop ratios."""
+    """Round-robin multi-dataset training (reference `train.py:355-372` +
+    `datasets/dataloader.py:23-112`, used for PPT joint training).
+
+    ``cfg.data.train`` must be a ``ConcatDataset`` cfg; each sub-dataset's
+    ``loop`` acts as its round-robin ratio (the reference's loop-ratio
+    weighting): per cycle, dataset i contributes ``loop_i`` batches.
+    """
+
+    def build_train_loader(self, num_devices: int, bucket: int):
+        from cdsegnet_tpu.data.loader import MultiDatasetLoader
+
+        cfg = self.cfg
+        train_cfg = dict(cfg.data.train)
+        assert train_cfg.get("type") == "ConcatDataset", (
+            "MultiDatasetTrainer expects cfg.data.train of type ConcatDataset"
+        )
+        loaders, ratios = [], []
+        self.train_ds = []
+        for sub in train_cfg["datasets"]:
+            sub = dict(sub)
+            ratio = int(sub.pop("loop", 1))
+            sub.setdefault("loop", 1)
+            ds = build_dataset(sub)
+            self.train_ds.append(ds)
+            loaders.append(
+                TrainLoader(
+                    ds,
+                    num_devices=num_devices if self.mesh is not None else 1,
+                    scenes_per_device=cfg.get("scenes_per_device", 2),
+                    num_points=bucket,
+                    mix_prob=cfg.get("mix_prob", 0.0),
+                    seed=cfg.get("seed", 0),
+                )
+            )
+            ratios.append(ratio)
+        return MultiDatasetLoader(loaders, ratios)

@@ -143,6 +143,20 @@ class ContinuousDMSegmentor(_DiffusionBase):
             if point.segment is not None else point.mask,
         )
 
+    def denoise_step(self, point: PointBatch, state: jnp.ndarray, t: jnp.ndarray):
+        """Gaussian DDIM on the label-space state (reference
+        `default.py:730-810`); clean features condition every step."""
+        ts_scene = jnp.full((point.num_scenes,), t, jnp.int32)
+        t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
+        c_out, n_out = self.backbone(
+            point, point.replace(feat=state), t_emb=t_emb, train=False
+        )
+        ts_pt = jnp.full((point.num_points,), t, jnp.int32)
+        x_prev = self.schedule.ddim_step(
+            state, ts_pt, c_out.feat, target=self.dm_target
+        )
+        return dict(state=x_prev, n_logits=n_out.feat, x0_logits=x_prev)
+
 
 class CCDMSegmentor(_DiffusionBase):
     """④ GD + GD: both branches diffused (features + log-one-hot labels)."""
@@ -190,6 +204,31 @@ class CCDMSegmentor(_DiffusionBase):
             if point.segment is not None else point.mask,
         )
 
+    def denoise_step(self, point: PointBatch, state, t: jnp.ndarray):
+        """④: Gaussian DDIM on both branches (reference `default.py:1185-1276`).
+
+        ``state = (c_feat, n_feat)`` — features and log-one-hot labels. The
+        feature branch steps through the configured ``dm_target``; the label
+        branch's x0 estimate is taken in log-prob space from the semantic
+        logits (our n head predicts logits, not noise — conscious deviation,
+        documented in the class docstring)."""
+        c_feat, n_feat = state
+        ts_scene = jnp.full((point.num_scenes,), t, jnp.int32)
+        t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
+        c_out, n_out = self.backbone(
+            point.replace(feat=n_feat), point.replace(feat=c_feat),
+            t_emb=t_emb, train=False,
+        )
+        ts_pt = jnp.full((point.num_points,), t, jnp.int32)
+        c_prev = self.schedule.ddim_step(
+            c_feat, ts_pt, c_out.feat, target=self.dm_target
+        )
+        n_x0 = jnp.log(jax.nn.softmax(n_out.feat, axis=-1) + EPS)
+        n_prev = self.schedule.ddim_step(n_feat, ts_pt, n_x0, target="x0")
+        return dict(
+            state=(c_prev, n_prev), n_logits=n_out.feat, x0_logits=n_out.feat
+        )
+
 
 class _D3PMMixin:
     """Uniform-transition D3PM (Austin et al. 2021): closed-form cumulative
@@ -226,6 +265,33 @@ class _D3PMMixin:
         t0 = (ts_pt == 0)[:, None]
         return jnp.where(t0, jnp.log(x0_prob + EPS), logits)
 
+    def d3pm_posterior_pair(self, x0_logits, labels, x_t, ts_pt):
+        """(true, predicted) posterior logits for the KL training term
+        (reference `default.py:1966-1991`): the true posterior conditions on
+        the clean labels as a (near-)delta distribution."""
+        true_q = self.d3pm_posterior_logits(
+            labels_to_log_onehot(labels, self.num_classes), x_t, ts_pt
+        )
+        pred_q = self.d3pm_posterior_logits(x0_logits, x_t, ts_pt)
+        return true_q, pred_q
+
+    def d3pm_ddim_sample(self, x0_logits, t, key):
+        """x_{t-1} ~ softmax(x0_hat) @ Qbar_{t-1}, Gumbel-argmax sampled
+        (reference `discrete_p_ddim_sample`, `default.py:1754-1784`); with
+        uniform transitions the matrix product is the closed form
+        ``ab_{t-1} * p(x0) + (1 - ab_{t-1}) / K``. ``t`` is a scalar step;
+        t == 0 returns argmax(x0_hat)."""
+        k = self.num_classes
+        ab_prev = self._alpha_bar()[jnp.maximum(t - 1, 0)]
+        probs = ab_prev * jax.nn.softmax(x0_logits, axis=-1) + (1.0 - ab_prev) / k
+        u = jnp.clip(jax.random.uniform(key, x0_logits.shape), EPS, 1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+        not_first = (t != 0).astype(jnp.float32)
+        sample = jnp.argmax(
+            jnp.log(probs + EPS) + gumbel * not_first, axis=-1
+        ).astype(jnp.int32)
+        return jnp.where(t == 0, jnp.argmax(x0_logits, axis=-1).astype(jnp.int32), sample)
+
 
 class DiscreteDMSegmentor(_DiffusionBase, _D3PMMixin):
     """⑤ CN + CD: categorical (D3PM) diffusion on the label branch.
@@ -244,14 +310,35 @@ class DiscreteDMSegmentor(_DiffusionBase, _D3PMMixin):
         )
         t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
         c_out, n_out = self.backbone(point, c_point, t_emb=t_emb, train=train)
-        # diffusion branch predicts x0 logits -> CE against clean labels;
-        # semantic branch supervised as usual.
+        # diffusion branch predicts x0 logits; supervised through the D3PM
+        # posterior KL (`D3PMKLLoss` on d3pm_{pred,true}_q) and/or CE on
+        # d3pm_logits; semantic branch supervised as usual.
+        true_q, pred_q = self.d3pm_posterior_pair(
+            c_out.feat, point.segment, x_t, ts_pt
+        )
         return dict(
             d3pm_logits=c_out.feat,
+            d3pm_true_q=true_q,
+            d3pm_pred_q=pred_q,
             n_pred=n_out.feat,
             n_target=point.segment,
             seg_valid=seg_valid,
         )
+
+    def denoise_step(self, point: PointBatch, x_t: jnp.ndarray, t: jnp.ndarray):
+        """One posterior-resampling step (reference `default.py:1806-1898`):
+        x_t rides the label branch as one-hot, x0_hat logits come from its
+        head, x_{t-1} is Gumbel-resampled."""
+        c_point = point.replace(
+            feat=jax.nn.one_hot(x_t, self.num_classes, dtype=jnp.float32)
+        )
+        ts_scene = jnp.full((point.num_scenes,), t, jnp.int32)
+        t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
+        c_out, n_out = self.backbone(point, c_point, t_emb=t_emb, train=False)
+        x_prev = self.d3pm_ddim_sample(
+            c_out.feat, t, self.make_rng("diffusion")
+        )
+        return dict(state=x_prev, n_logits=n_out.feat, x0_logits=c_out.feat)
 
     def inference(self, point: PointBatch, noise=None) -> Dict[str, Any]:
         key = self.make_rng("diffusion")
@@ -288,9 +375,15 @@ class CDDMSegmentor(DiscreteDMSegmentor):
         )
         t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
         c_out, n_out = self.backbone(n_point, c_point, t_emb=t_emb, train=train)
+        true_q, pred_q = self.d3pm_posterior_pair(
+            n_out.feat, point.segment, x_t, ts_pt
+        )
         out.update(
             c_pred=c_out.feat,
             c_target=c_noise if self.dm_target == "noise" else c_x0,
+            d3pm_logits=n_out.feat,
+            d3pm_true_q=true_q,
+            d3pm_pred_q=pred_q,
             n_pred=n_out.feat,
             n_target=point.segment,
             seg_valid=seg_valid,
@@ -320,6 +413,29 @@ class CDDMSegmentor(DiscreteDMSegmentor):
             if point.segment is not None else point.mask,
         )
 
+    def denoise_step(self, point: PointBatch, state, t: jnp.ndarray):
+        """⑥: Gaussian DDIM on the feature branch + D3PM resampling on the
+        label branch, jointly (reference `default.py:2468-2570`).
+
+        ``state = (c_feat, x_t)``."""
+        c_feat, x_t = state
+        n_point = point.replace(
+            feat=jax.nn.one_hot(x_t, self.num_classes, dtype=jnp.float32)
+        )
+        ts_scene = jnp.full((point.num_scenes,), t, jnp.int32)
+        t_emb = self._t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
+        c_out, n_out = self.backbone(
+            n_point, point.replace(feat=c_feat), t_emb=t_emb, train=False
+        )
+        ts_pt = jnp.full((point.num_points,), t, jnp.int32)
+        c_prev = self.schedule.ddim_step(
+            c_feat, ts_pt, c_out.feat, target=self.dm_target
+        )
+        x_prev = self.d3pm_ddim_sample(n_out.feat, t, self.make_rng("diffusion"))
+        return dict(
+            state=(c_prev, x_prev), n_logits=n_out.feat, x0_logits=n_out.feat
+        )
+
 
 class DMSegmentor(_DiffusionBase, _D3PMMixin):
     """Transition-matrix D3PM on a single semantic branch
@@ -333,7 +449,13 @@ class DMSegmentor(_DiffusionBase, _D3PMMixin):
             feat=jax.nn.one_hot(x_t, self.num_classes, dtype=jnp.float32)
         )
         n_out = self.backbone(n_point, train=train)
+        true_q, pred_q = self.d3pm_posterior_pair(
+            n_out.feat, point.segment, x_t, ts_pt
+        )
         return dict(
+            d3pm_logits=n_out.feat,
+            d3pm_true_q=true_q,
+            d3pm_pred_q=pred_q,
             n_pred=n_out.feat, n_target=point.segment, seg_valid=seg_valid
         )
 
@@ -353,6 +475,83 @@ class DMSegmentor(_DiffusionBase, _D3PMMixin):
             seg_valid=point.mask & (point.segment >= 0)
             if point.segment is not None else point.mask,
         )
+
+    def denoise_step(self, point: PointBatch, x_t: jnp.ndarray, t: jnp.ndarray):
+        """Single-branch posterior resampling (reference `default.py:3077-3146`)."""
+        n_out = self.backbone(
+            point.replace(
+                feat=jax.nn.one_hot(x_t, self.num_classes, dtype=jnp.float32)
+            ),
+            train=False,
+        )
+        x_prev = self.d3pm_ddim_sample(n_out.feat, t, self.make_rng("diffusion"))
+        return dict(state=x_prev, n_logits=n_out.feat, x0_logits=n_out.feat)
+
+
+def init_multistep_state(model, point: PointBatch, rng: jax.Array):
+    """Initial reverse-process state at t = T-1 for each ablation family."""
+    n = point.num_points
+    if isinstance(model, ContinuousDMSegmentor):
+        return jax.random.normal(rng, (n, model.num_classes), jnp.float32)
+    if isinstance(model, CCDMSegmentor):
+        k1, k2 = jax.random.split(rng)
+        return (
+            jax.random.normal(k1, (n, model.c_in_channels), jnp.float32),
+            jax.random.normal(k2, (n, model.num_classes), jnp.float32),
+        )
+    if isinstance(model, CDDMSegmentor):
+        k1, k2 = jax.random.split(rng)
+        return (
+            jax.random.normal(k1, (n, model.c_in_channels), jnp.float32),
+            jax.random.randint(k2, (n,), 0, model.num_classes, dtype=jnp.int32),
+        )
+    if isinstance(model, (DiscreteDMSegmentor, DMSegmentor)):
+        return jax.random.randint(rng, (n,), 0, model.num_classes, dtype=jnp.int32)
+    raise TypeError(type(model))
+
+
+def inference_multistep(
+    model,
+    variables,
+    point: PointBatch,
+    rng: jax.Array,
+    step: int = 5,
+    mode: str = "avg",
+    jit_step=None,
+) -> jnp.ndarray:
+    """Multi-step reverse-process inference for the NCF ablation families
+    (reference per-family `inference_ddim` loops, `default.py:730-810,
+    1185-1276, 1806-1898, 2468-2570, 3077-3146`): DDIM for the Gaussian
+    states, posterior Gumbel resampling for the categorical ones.
+
+    ``mode``: "avg" (MSAI) averages semantic logits over steps, "final"
+    (MSFI) keeps the last step's.
+    """
+    from cdsegnet_tpu.models.diffusion import time_schedule
+
+    sched = time_schedule(model.T, step)
+    k_init, rng = jax.random.split(rng)
+    state = init_multistep_state(model, point, k_init)
+    if jit_step is None:
+        jit_step = jax.jit(
+            lambda v, p, s, t, k: model.apply(
+                v, p, s, t, method=type(model).denoise_step,
+                rngs=dict(diffusion=k),
+            )
+        )
+    n_pred = jnp.zeros((point.num_points, model.num_classes), jnp.float32)
+    for t in sched:
+        rng, k = jax.random.split(rng)
+        res = jit_step(
+            variables, point, state, jnp.asarray(max(int(t), 0), jnp.int32), k
+        )
+        n_pred = n_pred + res["n_logits"] if mode == "avg" else res["n_logits"]
+        state = res["state"]
+        if t <= 0:
+            break
+    if mode == "avg":
+        n_pred = n_pred / float(len(sched))
+    return n_pred
 
 
 class DefaultClassifier(nn.Module):

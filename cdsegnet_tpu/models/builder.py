@@ -81,6 +81,12 @@ def build_cnf_segmentor(backbone: Dict[str, Any], **cfg: Any) -> CNFSegmentor:
     }
     kwargs = {k: v for k, v in cfg.items() if k in keep}
     kwargs["t_dim"] = cfg.get("T_dim", 128)
+    # the reference puts batch_sample_point on MSELoss (`misc.py:31`); lift it
+    # from the criteria cfg (the subsampling mask is drawn in the forward,
+    # where the PRNG lives)
+    for loss_cfg in cfg.get("criteria", []) or []:
+        if loss_cfg.get("type") == "MSELoss" and "batch_sample_point" in loss_cfg:
+            kwargs["batch_sample_point"] = loss_cfg["batch_sample_point"]
     return CNFSegmentor(backbone=bb, **kwargs)
 
 

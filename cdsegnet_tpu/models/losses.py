@@ -165,17 +165,63 @@ def dice_loss(
     return jnp.mean(1 - num / den)
 
 
+def d3pm_kl_loss(
+    pred_q_logits: jnp.ndarray, true_q_logits: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """KL( q(x_{t-1}|x_t, x0) || p(x_{t-1}|x_t, x0_hat) ) over valid points —
+    the D3PM posterior matching term; supervises the discrete-diffusion branch
+    of ⑤/⑥/DM (reference computes both posteriors, `default.py:1966-1991`,
+    and addresses them through key-configured losses)."""
+    logp = jax.nn.log_softmax(pred_q_logits.astype(jnp.float32), axis=-1)
+    logq = jax.nn.log_softmax(true_q_logits.astype(jnp.float32), axis=-1)
+    q = jnp.exp(logq)
+    kl = jnp.sum(q * (logq - logp), axis=-1)
+    return masked_mean(kl, valid)
+
+
+# cfg keys each loss type accepts; anything else is a config error (a silently
+# dropped `ignore_index=`/`mode=` kwarg would mask a typo'd recipe).
+_ALLOWED_KEYS = {
+    "MSELoss": {"type", "loss_weight", "pred", "target", "valid",
+                "batch_sample_point", "ignore_index"},
+    "CrossEntropyLoss": {"type", "loss_weight", "pred", "target",
+                         "label_smoothing", "weight", "ignore_index"},
+    "LovaszLoss": {"type", "loss_weight", "pred", "target", "mode",
+                   "ignore_index"},
+    "FocalLoss": {"type", "loss_weight", "gamma", "alpha", "ignore_index"},
+    "SmoothCELoss": {"type", "loss_weight", "smoothing_ratio"},
+    "BinaryFocalLoss": {"type", "loss_weight", "gamma", "alpha"},
+    "DiceLoss": {"type", "loss_weight", "smooth", "exponent", "ignore_index"},
+    "D3PMKLLoss": {"type", "loss_weight", "pred", "target"},
+}
+
+
 class Criteria:
     """Loss combiner (reference `builder.py:14-54`).
 
     ``loss_type``: "EW" sums all terms; "GLS" (train only) computes
     ``(MSE * (CE + Lovasz)) ** (1/task_num)``.
+
+    Like the reference's key-addressed losses (`misc.py:26-44,93-117`), each
+    loss cfg may override the output-dict keys it reads via ``pred=``/
+    ``target=``; a loss whose pred key is absent contributes nothing (the
+    reference returns 0.0 there).
     """
 
     def __init__(self, loss_cfgs=None, loss_type: str = "EW", task_num: int = 2):
         self.loss_cfgs = loss_cfgs or []
         self.loss_type = loss_type
         self.task_num = task_num
+        for cfg in self.loss_cfgs:
+            kind = cfg["type"]
+            if kind not in _ALLOWED_KEYS:
+                raise NotImplementedError(kind)
+            unknown = set(cfg) - _ALLOWED_KEYS[kind]
+            if unknown:
+                raise ValueError(
+                    f"{kind}: unknown config keys {sorted(unknown)} "
+                    f"(allowed: {sorted(_ALLOWED_KEYS[kind])})"
+                )
 
     def _terms(self, out: Dict[str, jnp.ndarray]):
         terms = []
@@ -183,20 +229,26 @@ class Criteria:
             kind = cfg["type"]
             w = cfg.get("loss_weight", 1.0)
             if kind == "MSELoss":
-                if "c_pred" not in out:
+                pk = cfg.get("pred", "c_pred")
+                if pk not in out:
                     continue
+                valid = out.get(cfg.get("valid", "mse_valid"), out["seg_valid"])
                 terms.append(
                     w
                     * mse_loss(
-                        out["c_pred"], out["c_target"], out["seg_valid"],
+                        out[pk], out[cfg.get("target", "c_target")], valid,
                         out.get("snr_loss_weight"),
                     )
                 )
             elif kind == "CrossEntropyLoss":
+                pk = cfg.get("pred", "n_pred")
+                if pk not in out:
+                    continue
                 terms.append(
                     w
                     * cross_entropy_loss(
-                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        out[pk], out[cfg.get("target", "n_target")],
+                        out["seg_valid"],
                         label_smoothing=cfg.get("label_smoothing", 0.0),
                         weight=cfg.get("weight"),
                     )
@@ -210,7 +262,10 @@ class Criteria:
                 )
             elif kind == "FocalLoss":
                 terms.append(
-                    w * focal_loss(out["n_pred"], out["n_target"], out["seg_valid"])
+                    w * focal_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        gamma=cfg.get("gamma", 2.0), alpha=cfg.get("alpha", 0.5),
+                    )
                 )
             elif kind == "SmoothCELoss":
                 terms.append(
@@ -222,12 +277,27 @@ class Criteria:
             elif kind == "BinaryFocalLoss":
                 terms.append(
                     w * binary_focal_loss(
-                        out["n_pred"], out["n_target"], out["seg_valid"]
+                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        gamma=cfg.get("gamma", 2.0), alpha=cfg.get("alpha", 0.5),
                     )
                 )
             elif kind == "DiceLoss":
                 terms.append(
-                    w * dice_loss(out["n_pred"], out["n_target"], out["seg_valid"])
+                    w * dice_loss(
+                        out["n_pred"], out["n_target"], out["seg_valid"],
+                        smooth=cfg.get("smooth", 1.0),
+                        exponent=cfg.get("exponent", 2.0),
+                    )
+                )
+            elif kind == "D3PMKLLoss":
+                pk = cfg.get("pred", "d3pm_pred_q")
+                if pk not in out:
+                    continue
+                terms.append(
+                    w * d3pm_kl_loss(
+                        out[pk], out[cfg.get("target", "d3pm_true_q")],
+                        out["seg_valid"],
+                    )
                 )
             else:
                 raise NotImplementedError(kind)

@@ -59,6 +59,9 @@ class CNFSegmentor(nn.Module):
     dm_min_snr: Optional[float] = None
     condition: bool = True
     c_in_channels: int = 6
+    # per-scene random MSE subsampling (reference MSELoss
+    # `batch_sample_point=8192`, `losses/misc.py:56-72`); <=0 disables
+    batch_sample_point: int = 8192
 
     def setup(self):
         if self.dm:
@@ -94,6 +97,13 @@ class CNFSegmentor(nn.Module):
         c_target = c_x0
         t_emb_pt = None
         c_feat = c_x0
+        if train and self.batch_sample_point > 0:
+            from cdsegnet_tpu.models.losses import subsample_valid
+
+            out["mse_valid"] = subsample_valid(
+                seg_valid, point.batch, point.num_scenes,
+                self.batch_sample_point, self.make_rng("diffusion"),
+            )
         if self.dm:
             key = self.make_rng("diffusion")
             k_t, k_n = jax.random.split(key)

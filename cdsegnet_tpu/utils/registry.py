@@ -36,7 +36,9 @@ class Registry:
     def __contains__(self, key: str) -> bool:
         return key in self._registry
 
-    def build(self, cfg: Dict[str, Any], **extra) -> Any:
+    def build(self, cfg: Dict[str, Any], /, **extra) -> Any:
+        # `cfg` is positional-only: consumers like the trainer/tester take a
+        # `cfg=` kwarg of their own, passed through **extra
         if not isinstance(cfg, dict) or "type" not in cfg:
             raise TypeError(f"config must be a dict with a 'type' key, got {cfg!r}")
         cfg = dict(cfg)

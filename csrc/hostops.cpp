@@ -60,24 +60,8 @@ int64_t grid_sample_pick(const uint64_t* keys, int64_t n,
   return n_vox;
 }
 
-// Count occupied voxels and the max voxel occupancy (for test-mode fragment
-// planning).
-void voxel_stats(const uint64_t* keys_sorted, int64_t n, int64_t* n_vox,
-                 int64_t* max_count) {
-  int64_t vox = 0, mx = 0, run = 0;
-  for (int64_t i = 1; i <= n; ++i) {
-    if (i == n || keys_sorted[i] != keys_sorted[i - 1]) {
-      mx = std::max(mx, i - run);
-      run = i;
-      ++vox;
-    }
-  }
-  *n_vox = vox;
-  *max_count = mx;
-}
-
 // Brute-force k nearest neighbors on the host (used by offline
-// preprocessing and CPU-side label remaps when the device is busy).
+// preprocessing and the visualization tool's original-resolution remap).
 void knn_host(const float* query, int64_t m, const float* ref, int64_t n,
               int64_t k, int64_t* out_idx, float* out_d2) {
   std::vector<std::pair<float, int64_t>> heap;

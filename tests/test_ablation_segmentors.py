@@ -58,6 +58,64 @@ def test_ablation_forward(kind, rng):
     assert np.isfinite(np.asarray(out["n_pred"])).all()
 
 
+@pytest.mark.parametrize("kind", ["DiscreteDMSegmentor", "CDDMSegmentor"])
+def test_d3pm_branch_trains(kind, rng):
+    """The D3PM posterior KL must produce nonzero gradients through the
+    diffused branch (round-1 missing #1: d3pm logits were computed but no
+    loss consumed them)."""
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.losses import build_criteria
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    model = build_model(_cfg(kind))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    criteria = build_criteria(
+        [dict(type="D3PMKLLoss", loss_weight=1.0),
+         dict(type="CrossEntropyLoss", loss_weight=1.0)],
+        loss_type="EW",
+    )
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        assert "d3pm_pred_q" in out and "d3pm_true_q" in out
+        return criteria(out, mode="train")
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    # the diffused branch's head must receive gradient through the KL term
+    head = "c_head" if kind == "DiscreteDMSegmentor" else "n_head"
+    g = grads["backbone"][head]["kernel"]
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+@pytest.mark.parametrize(
+    "kind",
+    ["ContinuousDMSegmentor", "CCDMSegmentor", "DiscreteDMSegmentor",
+     "CDDMSegmentor", "DMSegmentor"],
+)
+def test_ablation_multistep_inference(kind, rng):
+    """Multi-step reverse-process inference (MSAI/MSFI) for every ablation
+    family (reference per-family `inference_ddim`)."""
+    from cdsegnet_tpu.models.ablation_segmentors import inference_multistep
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    model = build_model(_cfg(kind))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    logits = inference_multistep(
+        model, variables, pt, jax.random.PRNGKey(3), step=2, mode="avg"
+    )
+    assert logits.shape == (256, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+    logits_f = inference_multistep(
+        model, variables, pt, jax.random.PRNGKey(3), step=2, mode="final"
+    )
+    assert np.isfinite(np.asarray(logits_f)).all()
+
+
 def test_classifier(rng):
     pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
     bb = dict(TINY_BACKBONE)

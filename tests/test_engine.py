@@ -190,3 +190,15 @@ def test_tta_tester_end_to_end(tmp_path):
     assert os.path.isdir(os.path.join(save, "result"))
     subs = os.listdir(os.path.join(save, "submit"))
     assert len(subs) == 2  # one txt per scene
+
+    # MSAI path: the DDIM step must compile once per bucket shape, not once
+    # per fragment (round-1 weak #5). 2 scenes x 2 TTA augs = >=4 fragment
+    # predictions over <=2 bucket sizes.
+    cfg2 = cfg.copy()
+    cfg2["inference_mode"] = "MSAI"
+    cfg2["inference_step"] = 2
+    cfg2["save_path"] = str(tmp_path / "exp_msai")
+    tester2 = SemSegTester(cfg2, state=state, model=model)
+    miou2 = tester2.test()
+    assert 0.0 <= miou2 <= 1.0
+    assert 1 <= tester2._ddim_trace_count <= len(cfg2.test_buckets)

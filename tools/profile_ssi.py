@@ -1,0 +1,95 @@
+"""Section-level timing of the SSI forward: pyramid geometry vs model compute.
+
+Times each geometry stage as its own jit so the perf levers named in
+DESIGN.md §9 (neighbor tables, k5 stem composition, serialization sorts) get
+individual numbers on real hardware. Run on TPU:
+
+    python tools/profile_ssi.py [num_points]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import cdsegnet_tpu  # noqa: F401
+from __graft_entry__ import _synthetic_point_batch
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.structure import (
+    build_neighbor_table,
+    compose_k5_table,
+    serialize,
+)
+
+ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+
+def _sync(out):
+    # block_until_ready can return early through the remote-device relay;
+    # force ONE scalar host read covering every leaf (each read costs a
+    # ~32 ms relay round trip, so never read per-leaf)
+    total = jnp.asarray(0.0, jnp.float32)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype"):
+            total = total + jnp.sum(leaf.astype(jnp.float32))
+    float(total)
+
+
+def timed(label, fn, *args, iters=10):
+    out = fn(*args)
+    _sync(out)
+    # dispatch all iterations (device stream executes them in order), then
+    # sync once — amortizes the ~32 ms relay read over the loop
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    dt = (time.time() - t0) / iters * 1e3
+    print(f"{label:34s} {dt:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 104448
+    patch = 1024
+    point = _synthetic_point_batch(n, 1, depth=10, seed=0)
+    caps = [pyr.round_up(max(n // d, patch), patch) for d in (2, 4, 16, 64)]
+
+    null_j = jax.jit(lambda x: x + 1.0)
+    timed("null dispatch + host read", null_j, jnp.zeros((8,)))
+
+    serialize_j = jax.jit(lambda p: serialize(p, orders=ORDERS))
+    pt = timed("serialize x4 (level0)", serialize_j, point)
+
+    nbr_j = jax.jit(
+        lambda p: build_neighbor_table(
+            p.grid_coord, p.batch, p.mask, depth=10, kernel_size=3, num_scenes=1
+        )
+    )
+    n3 = timed("k3 neighbor table (level0)", nbr_j, pt)
+
+    k5_j = jax.jit(compose_k5_table)
+    timed("k5 stem compose", k5_j, n3)
+
+    pyramid_j = jax.jit(
+        lambda p: pyr.build_pyramid(
+            p, strides=(2, 2, 2, 2), capacities=caps, orders=ORDERS,
+            shuffle_key=None,
+        )
+    )
+    timed("full pyramid (5 lvls + stem)", pyramid_j, point)
+
+    lvl0_j = jax.jit(lambda p: pyr.build_level0(p, ORDERS, None))
+    lvl0 = timed("level0 (serialize + k3)", lvl0_j, point)
+
+    pool_j = jax.jit(
+        lambda l: pyr.build_pooled_level(l, 2, caps[0], ORDERS, None)
+    )
+    timed("pooled level 1 (cap %dk)" % (caps[0] // 1000), pool_j, lvl0)
+
+
+if __name__ == "__main__":
+    main()
