@@ -58,7 +58,11 @@ def collate_scenes(
     segment = np.full((num_points,), -1, np.int32)
     batch = np.full((num_points,), num_scenes, np.int32)
     mask = np.zeros((num_points,), bool)
+    has_inst = any("instance" in s for s in scenes)
+    instance = np.full((num_points,), -1, np.int32) if has_inst else None
+    centroid = np.zeros((num_points, 3), np.float32) if has_inst else None
     pos = 0
+    inst_base = 0  # keep instance ids unique across scenes in the bucket
     for i, s in enumerate(scenes):
         n = s["coord"].shape[0]
         room = num_points - pos
@@ -79,13 +83,23 @@ def collate_scenes(
         feat[sl] = s["feat"][:n]
         if "segment" in s:
             segment[sl] = np.asarray(s["segment"][:n]).reshape(-1)
+        if has_inst and "instance" in s:
+            inst = np.asarray(s["instance"][:n]).reshape(-1).astype(np.int32)
+            instance[sl] = np.where(inst >= 0, inst + inst_base, -1)
+            inst_base += int(inst.max()) + 1 if inst.size and inst.max() >= 0 else 0
+            if "instance_centroid" in s:
+                centroid[sl] = s["instance_centroid"][:n]
         batch[sl] = i
         mask[sl] = True
         pos += n
-    return dict(
+    out = dict(
         coord=coord, grid_coord=grid, feat=feat, segment=segment,
         batch=batch, mask=mask,
     )
+    if has_inst:
+        out["instance"] = instance
+        out["instance_centroid"] = centroid
+    return out
 
 
 def collate_sharded(

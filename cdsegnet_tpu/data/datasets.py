@@ -109,6 +109,10 @@ class DefaultDataset:
             out["segment"] = np.asarray(data["segment"]).reshape(-1).astype(np.int64)
         else:
             out["segment"] = np.full((coord.shape[0],), self.ignore_index, np.int64)
+        for k in ("instance_gt", "instance"):
+            if k in data:
+                out["instance"] = np.asarray(data[k]).reshape(-1).astype(np.int64)
+                break
         return out
 
     def get_data_name(self, idx: int) -> str:
@@ -210,6 +214,14 @@ class ScanNetDataset(DefaultDataset):
         else:
             seg = np.full((coord.shape[0],), -1, np.int64)
         out["segment"] = seg
+        if "instance_gt" in data:
+            out["instance"] = (
+                np.asarray(data["instance_gt"]).reshape(-1).astype(np.int64)
+            )
+        elif "instance" in data:
+            out["instance"] = (
+                np.asarray(data["instance"]).reshape(-1).astype(np.int64)
+            )
         if self.la is not None:
             sampled = self.la[self.get_data_name(idx)]
             mask = np.ones_like(seg, bool)

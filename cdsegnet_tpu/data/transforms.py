@@ -34,7 +34,7 @@ TRANSFORMS = Registry("transforms")
 
 POINT_KEYS = (
     "coord", "grid_coord", "origin_coord", "color", "normal", "strength",
-    "segment", "instance", "displacement", "index",
+    "segment", "instance", "instance_centroid", "displacement", "index",
 )
 
 
@@ -637,3 +637,44 @@ class CropBoundary:
         seg = data["segment"]
         keep = np.where((seg != 0) & (seg != 1))[0]
         return take(data, keep)
+
+
+@TRANSFORMS.register_module()
+class InstanceParser:
+    """Build instance-segmentation targets (reference `transform.py:1106-1161`):
+    renumber surviving instances densely, per-point instance centroids, and
+    per-instance bboxes ``[center(3), size(3), theta(1), class(1)]`` with the
+    class index shifted down past the ignored segment classes."""
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1):
+        self.segment_ignore_index = segment_ignore_index
+        self.instance_ignore_index = instance_ignore_index
+
+    def __call__(self, data, rng=None):
+        coord = data["coord"]
+        segment = data["segment"]
+        instance = np.asarray(data["instance"]).reshape(-1).copy()
+        keep = ~np.isin(segment, self.segment_ignore_index)
+        instance[~keep] = self.instance_ignore_index
+        unique, inverse = np.unique(instance[keep], return_inverse=True)
+        instance[keep] = inverse
+        n_inst = len(unique)
+        centroid = np.full((coord.shape[0], 3), self.instance_ignore_index,
+                           np.float32)
+        bbox = np.full((n_inst, 8), self.instance_ignore_index, np.float32)
+        vacancy = [i for i in self.segment_ignore_index if i >= 0]
+        for inst_id in range(n_inst):
+            m = instance == inst_id
+            pts = coord[m]
+            lo, hi = pts.min(0), pts.max(0)
+            centroid[m] = pts.mean(0)
+            cls = float(segment[m][0])
+            cls -= float(np.greater(cls, vacancy).sum())
+            bbox[inst_id, :3] = (hi + lo) / 2
+            bbox[inst_id, 3:6] = hi - lo
+            bbox[inst_id, 6] = 0.0
+            bbox[inst_id, 7] = cls
+        data["instance"] = instance
+        data["instance_centroid"] = centroid
+        data["bbox"] = bbox
+        return data

@@ -188,6 +188,98 @@ class SemSegEvaluator(HookBase):
 
 
 @HOOKS.register_module()
+class InsSegEvaluator(HookBase):
+    """Instance-segmentation validation: PointGroup clustering -> proposal
+    masks -> ScanNet-protocol mAP@[.5:.95] / AP50 / AP25 (reference
+    `hooks/evaluator.py:213-589`; metric math in `engine/insseg_eval.py`)."""
+
+    def __init__(self, interval: int = 1, segment_ignore_index=(-1, 0, 1),
+                 instance_ignore_index: int = -1, min_region_size: int = 100,
+                 cluster_min_points: int = 100):
+        self.interval = interval
+        self.segment_ignore_index = tuple(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+        self.min_region_size = min_region_size
+        self.cluster_min_points = cluster_min_points
+        self._jit = None
+
+    def _step_fn(self, tr):
+        if self._jit is not None:
+            return self._jit
+        model = tr.model
+        depth = tr.cfg.get("serialization_depth", 16)
+        from cdsegnet_tpu.engine.state import batch_to_point
+
+        @jax.jit
+        def fn(state, batch):
+            point = batch_to_point(batch, depth, 1)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            out = model.apply(variables, point, train=False)
+            sem = out["n_pred"].argmax(-1)
+            clusters = model.apply(
+                variables, point, sem, out["offset_pred"],
+                method=type(model).cluster,
+            )
+            return out["n_pred"], clusters, point.mask
+
+        self._jit = fn
+        return fn
+
+    def after_epoch(self):
+        tr = self.trainer
+        if tr.val_loader is None or (tr.epoch + 1) % self.interval != 0:
+            return
+        from cdsegnet_tpu.engine import insseg_eval as ie
+
+        num_classes = tr.cfg.data.num_classes
+        valid_classes = [
+            c for c in range(num_classes) if c not in self.segment_ignore_index
+        ]
+        step = self._step_fn(tr)
+        scenes = []
+        for batch, _scene in tr.val_loader:
+            if "instance" not in batch:
+                tr.logger.warning(
+                    "InsSegEvaluator: batch has no instance targets; skipping"
+                )
+                return
+            logits, clusters, mask = step(tr.state, batch)
+            logits = np.asarray(logits)
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            sem_pred = logits.argmax(-1)
+            masks, classes, scores = ie.proposals_from_clusters(
+                np.asarray(clusters), sem_pred, probs, np.asarray(mask),
+                min_points=self.cluster_min_points,
+            )
+            scenes.append(
+                ie.associate_instances(
+                    masks, classes, scores,
+                    np.where(np.asarray(mask), batch["segment"], -1),
+                    np.where(np.asarray(mask), batch["instance"], -1),
+                    num_classes, self.segment_ignore_index,
+                    self.min_region_size,
+                )
+            )
+        ap = ie.evaluate_matches(
+            scenes, valid_classes, min_region_size=self.min_region_size
+        )
+        s = ie.summarize_ap(ap)
+        names = tr.cfg.data.get("names", [str(i) for i in range(num_classes)])
+        for li, c in enumerate(valid_classes):
+            tr.logger.info(f"Class {names[c]}: AP {s['per_class_ap'][li]:.4f}")
+        tr.logger.info(
+            f"Val result: mAP {s['all_ap']:.4f} AP50 {s['all_ap_50']:.4f} "
+            f"AP25 {s['all_ap_25']:.4f}"
+        )
+        tr.comm_info["current_metric_value"] = s["all_ap_50"]
+        tr.comm_info["current_metric_name"] = "AP50"
+        tr.storage.put_scalar("val/mAP", s["all_ap"])
+        tr.storage.put_scalar("val/AP50", s["all_ap_50"])
+
+
+@HOOKS.register_module()
 class CheckpointSaver(HookBase):
     """Save last/best/periodic checkpoints (reference `hooks/misc.py:146-204`)."""
 

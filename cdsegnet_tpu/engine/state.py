@@ -66,6 +66,8 @@ def batch_to_point(batch: Dict[str, jnp.ndarray], depth: int, num_scenes: int) -
         batch=batch["batch"],
         mask=batch["mask"],
         segment=batch.get("segment"),
+        instance=batch.get("instance"),
+        instance_centroid=batch.get("instance_centroid"),
         depth=depth,
         num_scenes=num_scenes,
     )

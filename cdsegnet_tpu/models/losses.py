@@ -165,6 +165,30 @@ def dice_loss(
     return jnp.mean(1 - num / den)
 
 
+def offset_l1_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """PointGroup bias L1: mean |pred - target| over instance points
+    (reference `point_group_v1m1_base.py:78-81`)."""
+    l1 = jnp.sum(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)), -1)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(l1 * v) / jnp.maximum(jnp.sum(v), 1e-8)
+
+
+def offset_cosine_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """PointGroup bias direction loss: mean negative cosine similarity
+    (reference `point_group_v1m1_base.py:83-88`)."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    pn = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-8)
+    tn = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+    cos = -jnp.sum(pn * tn, axis=-1)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(cos * v) / jnp.maximum(jnp.sum(v), 1e-8)
+
+
 def d3pm_kl_loss(
     pred_q_logits: jnp.ndarray, true_q_logits: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:
@@ -193,6 +217,8 @@ _ALLOWED_KEYS = {
     "BinaryFocalLoss": {"type", "loss_weight", "gamma", "alpha"},
     "DiceLoss": {"type", "loss_weight", "smooth", "exponent", "ignore_index"},
     "D3PMKLLoss": {"type", "loss_weight", "pred", "target"},
+    "OffsetL1Loss": {"type", "loss_weight"},
+    "OffsetCosineLoss": {"type", "loss_weight"},
 }
 
 
@@ -287,6 +313,16 @@ class Criteria:
                         out["n_pred"], out["n_target"], out["seg_valid"],
                         smooth=cfg.get("smooth", 1.0),
                         exponent=cfg.get("exponent", 2.0),
+                    )
+                )
+            elif kind in ("OffsetL1Loss", "OffsetCosineLoss"):
+                if "offset_target" not in out:
+                    continue
+                fn = offset_l1_loss if kind == "OffsetL1Loss" else offset_cosine_loss
+                terms.append(
+                    w * fn(
+                        out["offset_pred"], out["offset_target"],
+                        out["instance_valid"],
                     )
                 )
             elif kind == "D3PMKLLoss":

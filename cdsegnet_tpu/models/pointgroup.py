@@ -93,6 +93,12 @@ class PointGroup(nn.Module):
             n_target=point.segment,
             seg_valid=point.mask & (point.segment >= 0),
         )
+        if point.instance is not None and point.instance_centroid is not None:
+            # offset regression targets (reference `point_group_v1m1_base.py:
+            # 76-88`): bias to the instance centroid, masked to points that
+            # belong to an instance
+            out["offset_target"] = point.instance_centroid - point.coord
+            out["instance_valid"] = point.mask & (point.instance >= 0)
         return out
 
     def cluster(self, point: PointBatch, sem_pred: jnp.ndarray,
@@ -115,15 +121,6 @@ class PointGroup(nn.Module):
         return connected_components(
             keyed, valid, self.cluster_radius, self.cluster_nsample
         )
-
-
-def offset_loss(offset_pred, coord, instance_center, valid):
-    """L1 regression of per-point offsets to instance centers (reference
-    PointGroup offset loss)."""
-    diff = offset_pred - (instance_center - coord)
-    l1 = jnp.sum(jnp.abs(diff), axis=-1)
-    v = valid.astype(jnp.float32)
-    return jnp.sum(l1 * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def _register():

@@ -63,6 +63,8 @@ class PointBatch:
     mask: jnp.ndarray
     batch: jnp.ndarray
     segment: Optional[jnp.ndarray] = None
+    instance: Optional[jnp.ndarray] = None  # (N,) int32, -1 = no instance
+    instance_centroid: Optional[jnp.ndarray] = None  # (N, 3) f32
     codes: Optional[jnp.ndarray] = None
     orders: Optional[jnp.ndarray] = None
     inverses: Optional[jnp.ndarray] = None
@@ -91,6 +93,8 @@ def make_point_batch(
     batch: jnp.ndarray,
     mask: jnp.ndarray,
     segment: Optional[jnp.ndarray] = None,
+    instance: Optional[jnp.ndarray] = None,
+    instance_centroid: Optional[jnp.ndarray] = None,
     depth: int = 16,
     num_scenes: int = 1,
 ) -> PointBatch:
@@ -106,6 +110,12 @@ def make_point_batch(
         segment=None
         if segment is None
         else jnp.where(mask, segment.astype(jnp.int32), -1),
+        instance=None
+        if instance is None
+        else jnp.where(mask, instance.astype(jnp.int32), -1),
+        instance_centroid=None
+        if instance_centroid is None
+        else jnp.where(mask[:, None], instance_centroid.astype(jnp.float32), 0.0),
         depth=depth,
         num_scenes=num_scenes,
     )
@@ -239,12 +249,18 @@ def build_neighbor_table(
 
     This replaces spconv's GPU hash-table build (`indice_key` reuse,
     reference `point_transformer_v3m1_base.py:355-365,646-655`) with an
-    XLA-friendly sorted-code binary search: keys are z-order codes with the
-    batch id in the high bits, queries are the offset voxels' codes.
+    XLA-friendly co-sorted exact-match lookup: keys are z-order codes with
+    the batch id in the high bits, queries are the offset voxels' codes.
+
+    Neighborhoods are symmetric (j at i+d <=> i at j-d, and the offset
+    enumeration satisfies ``offs[K-1-t] = -offs[t]``), so only the first
+    half of the offsets is queried — the other half is one scatter. Sorting
+    is the dominant cost of the table build; this halves the sorted volume.
     """
     n = grid_coord.shape[0]
     offs = kernel_offsets(kernel_size)  # (K, 3)
     k = offs.shape[0]
+    half = k // 2  # offsets [0, half) query; (half, k) mirror; half = center
     key_bits = 3 * depth + max((num_scenes + 1).bit_length(), 1)
     keys = ser.encode(grid_coord, batch, depth=depth, order="z")  # (N,)
     # Padding slots share one sentinel key; push them past every real key so
@@ -252,18 +268,31 @@ def build_neighbor_table(
     # carry the sentinel batch id in the high bits, just add the max code).
     keys = jnp.where(mask, keys, (jnp.int64(1) << key_bits) - 1)
 
-    q_coord = grid_coord[:, None, :] + offs[None, :, :]  # (N, K, 3)
+    offs_h = offs[:half]
+    q_coord = grid_coord[:, None, :] + offs_h[None, :, :]  # (N, half, 3)
     in_range = jnp.all((q_coord >= 0) & (q_coord < (1 << depth)), axis=-1)
     q_keys = ser.encode(
         q_coord.reshape(-1, 3),
-        jnp.repeat(batch, k),
+        jnp.repeat(batch, half),
         depth=depth,
         order="z",
     )
-    neighbor = exact_match_lookup(
+    nbr_h = exact_match_lookup(
         keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n
-    ).reshape(n, k)
-    neighbor = jnp.where(in_range & mask[:, None], neighbor, n)
+    ).reshape(n, half)
+    nbr_h = jnp.where(in_range & mask[:, None], nbr_h, n)
+
+    # mirror scatter: nbr_h[i, t] = m  =>  neighbor[m, k-1-t] = i.
+    # Row n of the scratch buffer absorbs missing entries (index n).
+    arange = jnp.arange(n, dtype=jnp.int32)
+    mirror = jnp.full((n + 1, half), n, jnp.int32)
+    mirror = mirror.at[nbr_h, jnp.arange(half)].set(
+        jnp.broadcast_to(arange[:, None], (n, half))
+    )
+    mirror = mirror[:n, ::-1]  # columns k-1-t for t descending -> ascending
+
+    center = jnp.where(mask, arange, n)[:, None]
+    neighbor = jnp.concatenate([nbr_h, center, mirror], axis=1)
     return neighbor.astype(jnp.int32)
 
 
@@ -300,32 +329,37 @@ def _k5_decompositions():
     return a_idx, b_idx
 
 
-_K5_A, _K5_B = None, None
+_K5_PAIRS = None
 
 
 def compose_k5_table(n3: jnp.ndarray) -> jnp.ndarray:
     """Build the k5 (125-offset) neighbor table by composing two k3 hops.
 
     Replaces a 125*N-query code search (a ~13M-element sort at full
-    resolution) with one (N, 27) row gather + static slicing: neighbor at
-    offset d = a + b is reached via any occupied intermediate voxel at
-    offset a. A k5 neighbor whose *every* intermediate k3 voxel is empty is
-    reported missing — i.e. the 2-hop submanifold connectivity closure,
-    which on surface point clouds coincides with the exact k5 table except
-    at isolated diagonal jumps.
+    resolution) with one (N, 27) ROW gather + static fancy-indexing: the
+    neighbor at offset d = a + b is reached via any occupied intermediate
+    voxel at offset a; min over candidate paths (all valid paths agree on
+    the target index, the sentinel N dominates). Row gathers are the fast
+    form here — a flat per-element gather of the same data is ~12x slower
+    (scalar-granularity HBM loads), and scatter-based halving via mirror
+    symmetry measured slower still; see tools/profile_ssi.py.
+
+    A k5 neighbor whose *every* intermediate k3 voxel is empty is reported
+    missing — i.e. the 2-hop submanifold connectivity closure, which on
+    surface point clouds coincides with the exact k5 table except at
+    isolated diagonal jumps.
     """
-    global _K5_A, _K5_B
-    if _K5_A is None:
+    global _K5_PAIRS
+    if _K5_PAIRS is None:
         # keep as host numpy constants — a jnp array created under trace
         # would leak a tracer into the module-level cache
-        _K5_A, _K5_B = _k5_decompositions()
+        _K5_PAIRS = _k5_decompositions()
+    a_idx, b_idx = _K5_PAIRS
     n = n3.shape[0]
     rows = jnp.take(
         n3, n3, axis=0, mode="fill", fill_value=n
     )  # (N, 27, 27): rows[i, a, b]; missing first hop -> sentinel row
-    # min over candidate paths: all valid paths agree on the target index,
-    # and the sentinel N dominates any real index.
-    cand = rows[:, _K5_A, _K5_B]  # (N, 125, R)
+    cand = rows[:, a_idx, b_idx]  # (N, 125, R)
     return jnp.min(cand, axis=-1)
 
 

@@ -170,13 +170,22 @@ def test_compose_k5_vs_exact(rng):
     found = composed < n
     # every composed hit must equal the exact neighbor
     np.testing.assert_array_equal(composed[found], exact[found])
-    # vectorized reachability: a missing composed entry must truly have no
-    # occupied 1-hop intermediate
-    from cdsegnet_tpu.models.structure import _k5_decompositions
-
-    a_idx, b_idx = _k5_decompositions()
+    # brute-force reachability over ALL 729 (a, b) two-hop paths: a missing
+    # composed entry must truly have no occupied 1-hop intermediate
+    offs3 = [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)]
+    offs5 = [
+        (x, y, z)
+        for x in range(-2, 3) for y in range(-2, 3) for z in range(-2, 3)
+    ]
+    idx5 = {o: j for j, o in enumerate(offs5)}
     guard = np.concatenate([n3, np.full((1, 27), n, n3.dtype)])
-    rows = guard[n3]  # (N, 27, 27)
-    reach = rows[:, a_idx, b_idx].min(-1)  # (N, 125)
+    reach = np.full((n, 125), n, n3.dtype)
+    for a in range(27):
+        rows_a = guard[n3[:, a]]  # (N, 27) second hop from intermediate a
+        for b in range(27):
+            j = idx5[tuple(np.add(offs3[a], offs3[b]))]
+            reach[:, j] = np.minimum(reach[:, j], rows_a[:, b])
     missing_but_reachable = (composed == n) & (reach < n)
     assert not missing_but_reachable.any()
+    # and every reachable entry is found (full two-hop closure)
+    np.testing.assert_array_equal(composed, reach)
