@@ -40,13 +40,21 @@ class HistoryBuffer:
 
 
 class EventStorage:
-    def __init__(self, output_dir: Optional[str] = None):
+    """JSONL metrics + optional TensorBoard event files (reference
+    `TensorboardXWriter`; our writer is `utils/tbwriter.py`)."""
+
+    def __init__(self, output_dir: Optional[str] = None, tensorboard: bool = True):
         self.histories: Dict[str, HistoryBuffer] = defaultdict(HistoryBuffer)
         self.step = 0
         self._file = None
+        self._tb = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._file = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+            if tensorboard:
+                from cdsegnet_tpu.utils.tbwriter import TBWriter
+
+                self._tb = TBWriter(os.path.join(output_dir, "tb"))
 
     def put_scalar(self, name: str, value: float):
         self.histories[name].update(value)
@@ -56,14 +64,19 @@ class EventStorage:
             self.put_scalar(k, v)
 
     def write(self, step: Optional[int] = None):
+        step = step if step is not None else self.step
         if self._file is None:
             return
-        rec = {"step": step if step is not None else self.step,
-               "time": time.time()}
+        rec = {"step": step, "time": time.time()}
         rec.update({k: h.latest for k, h in self.histories.items()})
         self._file.write(json.dumps(rec) + "\n")
         self._file.flush()
+        if self._tb is not None:
+            for k, h in self.histories.items():
+                self._tb.add_scalar(k, h.latest, step)
 
     def close(self):
         if self._file:
             self._file.close()
+        if self._tb:
+            self._tb.close()

@@ -157,16 +157,32 @@ def serialize(
 # (key, index) into one int64 word and sort a single array.
 # ---------------------------------------------------------------------------
 
+_WARNED_PACKED_FALLBACK = False
+
 
 def packed_argsort(keys: jnp.ndarray, key_bits: int) -> jnp.ndarray:
     """Stable argsort via a single-array sort of ``key << idx_bits | idx``.
 
     Requires ``key_bits + ceil(log2(n)) <= 63`` and non-negative keys;
-    falls back to jnp.argsort otherwise.
+    falls back to jnp.argsort otherwise (with a one-time warning — the
+    fallback sorts key+payload separately and is measurably slower; it
+    means `serialization_depth` is configured deeper than the 63-bit
+    budget allows, e.g. 16 instead of the shipped configs' 12).
     """
     n = keys.shape[0]
     idx_bits = (n - 1).bit_length() if n > 1 else 1
     if key_bits + idx_bits > 63:
+        global _WARNED_PACKED_FALLBACK
+        if not _WARNED_PACKED_FALLBACK:
+            _WARNED_PACKED_FALLBACK = True
+            import warnings
+
+            warnings.warn(
+                f"packed_argsort: key_bits={key_bits} + idx_bits={idx_bits} "
+                f"> 63; falling back to plain argsort (slow). Reduce "
+                f"serialization depth to restore the packed fast path.",
+                stacklevel=2,
+            )
         return jnp.argsort(keys, stable=True).astype(jnp.int32)
     packed = (keys.astype(jnp.int64) << idx_bits) | jnp.arange(n, dtype=jnp.int64)
     s = jnp.sort(packed)
