@@ -145,3 +145,6 @@ def build_model(cfg: Dict[str, Any]):
 import cdsegnet_tpu.models.spunet  # noqa: E402,F401  (registers SpUNet/MinkUNet)
 import cdsegnet_tpu.models.ptv2  # noqa: E402,F401  (registers PT-v1, PT-v2m2)
 import cdsegnet_tpu.models.pointgroup  # noqa: E402,F401  (registers PointGroup)
+import cdsegnet_tpu.models.spvcnn  # noqa: E402,F401  (registers SPVCNN)
+import cdsegnet_tpu.models.oacnns  # noqa: E402,F401  (registers OACNNs)
+import cdsegnet_tpu.models.octformer  # noqa: E402,F401  (registers OctFormer)

@@ -1,0 +1,209 @@
+"""OA-CNNs: omni-adaptive sparse CNNs (TPU-native).
+
+Counterpart of `pointcept/models/oacnns/oacnns_v1m1_base.py` (345 LoC over
+spconv + torch_geometric). The omni-adaptive block aggregates features over
+several voxel-grid cluster scales with learned softmax weights, mixes the
+scales with a per-point adaptive gate, and runs a submanifold conv pair.
+
+TPU mapping:
+- `voxel_grid` clustering -> serialization-code right-shifts on the shared
+  pyramid (cluster ids derive from the sorted z-codes; grid sizes are
+  rounded to powers of two so no extra sort is ever needed — conscious
+  deviation from the reference's [.., 24]/[.., 12]/[.., 6] sizes);
+- `torch_geometric.scatter` -> jax segment ops with static capacity;
+- strided SparseConv3d / SparseInverseConv3d -> cluster pool / parent
+  broadcast like SpUNet.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.builder import MODELS
+from cdsegnet_tpu.models.modules import MaskedBatchNorm, SubMConv
+from cdsegnet_tpu.models.structure import PointBatch
+from cdsegnet_tpu.ops import segments as seg_ops
+
+
+def grid_clusters(level: pyr.Level, shift: int) -> jnp.ndarray:
+    """Per-point dense cluster ids for a 2**shift voxel grid at this level
+    (invalid points -> the overflow slot M-1)."""
+    pp = level.point
+    m = pp.num_points
+    sort0 = pp.orders[0]
+    keys_sorted = (pp.codes[0] >> (3 * shift))[sort0]
+    seg = jnp.minimum(
+        seg_ops.sorted_segment_ids(keys_sorted), m - 1
+    ).astype(jnp.int32)
+    return jnp.zeros((m,), jnp.int32).at[sort0].set(seg)
+
+
+class _LinearBNReLU(nn.Module):
+    out_c: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, mask, train=False):
+        f = nn.Dense(self.out_c, use_bias=False, dtype=self.dtype, name="fc")(feat)
+        f = MaskedBatchNorm(self.out_c, dtype=self.dtype, name="bn")(
+            f, mask, use_running_average=not train
+        )
+        return nn.relu(f)
+
+
+class OmniAdaptiveBlock(nn.Module):
+    """Reference `BasicBlock` (`oacnns_v1m1_base.py:13-111`)."""
+
+    channels: int
+    num_scales: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, clusters, nbr, mask, train=False):
+        c = self.channels
+        m = feat.shape[0]
+        valid = mask.astype(feat.dtype)[:, None]
+        scale_feats = []
+        for i, cluster in enumerate(clusters):
+            pw = _LinearBNReLU(c, dtype=self.dtype, name=f"l_w{i}")(
+                feat, mask, train
+            ) * valid
+            # unsorted segment ops with static capacity
+            cnt = jax.ops.segment_sum(valid[:, 0], cluster, m)
+            s = jax.ops.segment_sum(pw, cluster, m)
+            pw = pw - (s / jnp.maximum(cnt, 1.0)[:, None])[cluster] * valid
+            pw = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"weight{i}")(pw)
+            pw = jnp.exp(pw - jnp.max(jnp.where(valid > 0, pw, -jnp.inf)))
+            pw = pw * valid
+            denom = jax.ops.segment_sum(pw, cluster, m)[cluster] + 1e-6
+            pw = pw / denom
+            pf = _LinearBNReLU(c, dtype=self.dtype, name=f"proj{i}")(
+                feat, mask, train
+            ) * pw
+            pf = jax.ops.segment_sum(pf * valid, cluster, m)[cluster]
+            scale_feats.append(pf)
+        adp = jax.nn.softmax(
+            nn.Dense(self.num_scales, use_bias=False, dtype=self.dtype,
+                     name="adaptive")(feat).astype(jnp.float32),
+            axis=-1,
+        ).astype(feat.dtype)
+        mixed = sum(adp[:, i: i + 1] * scale_feats[i] for i in range(self.num_scales))
+        f_self = _LinearBNReLU(c, dtype=self.dtype, name=f"proj{self.num_scales}")(
+            feat, mask, train
+        )
+        fused = _LinearBNReLU(c, dtype=self.dtype, name="fuse")(
+            jnp.concatenate([f_self, mixed], axis=-1), mask, train
+        ) + feat
+        res = fused
+        f = SubMConv(c, c, 27, use_bias=False, dtype=self.dtype, name="vconv1")(
+            fused, nbr
+        )
+        f = MaskedBatchNorm(c, dtype=self.dtype, name="vbn1")(
+            f, mask, use_running_average=not train
+        )
+        f = nn.relu(f)
+        f = SubMConv(c, c, 27, use_bias=False, dtype=self.dtype, name="vconv2")(
+            f, nbr
+        )
+        f = MaskedBatchNorm(c, dtype=self.dtype, name="vbn2")(
+            f, mask, use_running_average=not train
+        )
+        return nn.relu(f + res)
+
+
+@MODELS.register_module("OACNNs")
+class OACNNs(nn.Module):
+    """Reference `OACNNs` (`oacnns_v1m1_base.py:214-345`)."""
+
+    in_channels: int = 6
+    num_classes: int = 20
+    embed_channels: int = 64
+    enc_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    enc_depth: Tuple[int, ...] = (2, 3, 6, 4)
+    dec_channels: Tuple[int, ...] = (96, 96, 128, 256)
+    # power-of-two exponents per stage (reference sizes rounded up)
+    point_grid_shift: Tuple[Tuple[int, ...], ...] = (
+        (4, 5, 6), (3, 4, 5), (2, 3, 4), (1, 2, 3),
+    )
+    orders: Tuple[str, ...] = ("z",)
+    capacity_div: Tuple[int, ...] = (1, 2, 4, 16, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        n_stages = len(self.enc_channels)
+        n0 = point.num_points
+        caps = [
+            pyr.round_up(max(n0 // d, 8), 8)
+            for d in self.capacity_div[1: n_stages + 1]
+        ]
+        levels, _ = pyr.build_pyramid(
+            point, strides=(2,) * n_stages, capacities=caps, orders=self.orders,
+            shuffle_key=None, stem_kernel=3,
+        )
+        m0, nbr0 = levels[0].point.mask, levels[0].point.neighbor_idx
+
+        # stem: three k3 submanifold convs
+        f = point.feat
+        c_in = self.in_channels
+        for i in range(3):
+            f = SubMConv(c_in, self.embed_channels, 27, use_bias=False,
+                         dtype=self.dtype, name=f"stem{i}")(f, nbr0)
+            f = MaskedBatchNorm(self.embed_channels, dtype=self.dtype,
+                                name=f"stem{i}_bn")(
+                f, m0, use_running_average=not train
+            )
+            f = nn.relu(f)
+            c_in = self.embed_channels
+
+        skips = [f]
+        for s in range(n_stages):
+            lvl = levels[s + 1]
+            f = nn.Dense(self.enc_channels[s], use_bias=False, dtype=self.dtype,
+                         name=f"down{s}_proj")(f)
+            f = pyr.pool_features(f, lvl, reduce="max")
+            f = MaskedBatchNorm(self.enc_channels[s], dtype=self.dtype,
+                                name=f"down{s}_bn")(
+                f, lvl.point.mask, use_running_average=not train
+            )
+            f = nn.relu(f)
+            clusters = [grid_clusters(lvl, sh) for sh in self.point_grid_shift[s]]
+            for i in range(self.enc_depth[s]):
+                f = OmniAdaptiveBlock(
+                    self.enc_channels[s], len(clusters), dtype=self.dtype,
+                    name=f"enc{s}_block{i}",
+                )(f, clusters, lvl.point.neighbor_idx, lvl.point.mask, train)
+            skips.append(f)
+
+        # decoder (reference `UpBlock`: deconv + 2-layer fuse MLP, residual)
+        f = skips.pop()
+        for s in reversed(range(n_stages)):
+            skip = skips.pop()
+            lvl = levels[s + 1]
+            f = nn.Dense(self.dec_channels[s], use_bias=False, dtype=self.dtype,
+                         name=f"up{s}_proj")(f)
+            f = pyr.unpool_features(f, lvl)
+            f = MaskedBatchNorm(self.dec_channels[s], dtype=self.dtype,
+                                name=f"up{s}_bn")(
+                f, levels[s].point.mask, use_running_average=not train
+            )
+            f = nn.relu(f)
+            g = jnp.concatenate([f, skip.astype(f.dtype)], axis=-1)
+            g = _LinearBNReLU(self.dec_channels[s], dtype=self.dtype,
+                              name=f"up{s}_fuse1")(g, levels[s].point.mask, train)
+            g = _LinearBNReLU(self.dec_channels[s], dtype=self.dtype,
+                              name=f"up{s}_fuse2")(g, levels[s].point.mask, train)
+            f = g + f
+
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="final")(
+            f.astype(jnp.float32)
+        )
+        return point.replace(feat=logits)
+
+
+MODELS.register_module("OACNNs-v1m1", OACNNs)

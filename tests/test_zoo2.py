@@ -1,0 +1,72 @@
+"""Forward + grad smoke tests for the second-tier model zoo
+(SPVCNN / OA-CNNs / OctFormer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdsegnet_tpu.models.builder import build_model
+from helpers import synthetic_batch
+from test_model import RNGS
+
+
+def _check_forward_and_grad(cfg, pt, num_classes=5):
+    model = build_model(cfg)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+    assert out.feat.shape == (pt.num_points, num_classes)
+    assert np.isfinite(np.asarray(out.feat)).all()
+    # padded slots must not produce NaNs through masked norms
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        valid = pt.mask & (pt.segment >= 0)
+        logp = jax.nn.log_softmax(o.feat.astype(jnp.float32))
+        nll = -jnp.take_along_axis(
+            logp, jnp.clip(pt.segment, 0, num_classes - 1)[:, None], axis=1
+        )[:, 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss))
+    gmax = max(
+        float(jnp.max(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_spvcnn(rng):
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    _check_forward_and_grad(
+        dict(type="SPVCNN", in_channels=6, num_classes=5, base_channels=8,
+             channels=(8, 8, 16, 16, 16, 16, 8, 8), layers=(1, 1, 1, 1, 1, 1, 1, 1),
+             capacity_div=(1, 2, 4, 8, 8)),
+        pt,
+    )
+
+
+def test_oacnns(rng):
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    _check_forward_and_grad(
+        dict(type="OACNNs", in_channels=6, num_classes=5, embed_channels=8,
+             enc_channels=(8, 8, 16, 16), enc_depth=(1, 1, 1, 1),
+             dec_channels=(8, 8, 16, 16),
+             point_grid_shift=((2, 3), (2, 3), (1, 2), (1, 2)),
+             capacity_div=(1, 2, 4, 8, 8)),
+        pt,
+    )
+
+
+def test_octformer(rng):
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    _check_forward_and_grad(
+        dict(type="OctFormer-v1m1", in_channels=6, num_classes=5,
+             fpn_channels=8, channels=(8, 8, 16, 16), num_blocks=(2, 1, 1, 1),
+             num_heads=(2, 2, 2, 2), patch_size=8, dilation=2, stem_down=2,
+             head_up=2, capacity_div=(1, 2, 4, 8, 8, 8)),
+        pt,
+    )
