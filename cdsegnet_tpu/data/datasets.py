@@ -358,6 +358,10 @@ class S3DISDataset(DefaultDataset):
             if seg is not None
             else np.full((coord.shape[0],), self.ignore_index, np.int64)
         )
+        if "instance_gt" in data:
+            out["instance"] = (
+                np.asarray(data["instance_gt"]).reshape(-1).astype(np.int64)
+            )
         return out
 
 
@@ -437,6 +441,141 @@ class SemanticKITTIDataset(DefaultDataset):
             5: 30, 6: 31, 7: 32, 8: 40, 9: 44, 10: 48, 11: 49, 12: 50,
             13: 51, 14: 70, 15: 71, 16: 72, 17: 80, 18: 81,
         }
+
+
+@DATASETS.register_module()
+class WaymoDataset(DefaultDataset):
+    """Waymo Open semantic segmentation (reference
+    `pointcept/datasets/waymo.py:16-73`): per-frame velodyne .bin (x,y,z,i)
+    with tanh-squashed intensity; labels are (N, 2) int32 with the semantic
+    class in column 1, shifted down so raw 0 (unlabeled) becomes -1."""
+
+    def get_data_list(self) -> List[str]:
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        out = []
+        for s in splits:
+            out += sorted(
+                glob.glob(os.path.join(self.data_root, s, "*", "velodyne", "*.bin"))
+            )
+        return out
+
+    def get_data(self, idx: int) -> Dict:
+        path = self.data_list[idx % len(self.data_list)]
+        scan = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        coord = scan[:, :3]
+        strength = np.tanh(scan[:, 3:4])
+        label_path = path.replace("velodyne", "labels").replace(".bin", ".label")
+        if os.path.exists(label_path):
+            segment = (
+                np.fromfile(label_path, dtype=np.int32).reshape(-1, 2)[:, 1] - 1
+            ).astype(np.int64)
+        else:
+            segment = np.full((coord.shape[0],), self.ignore_index, np.int64)
+        return dict(coord=coord, strength=strength, segment=segment)
+
+    def get_data_name(self, idx: int) -> str:
+        path = self.data_list[idx % len(self.data_list)]
+        seq = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        return f"{seq}_{os.path.splitext(os.path.basename(path))[0]}"
+
+
+@DATASETS.register_module()
+class Structured3DDataset(DefaultDataset):
+    """Structured3D panoramic rooms (reference
+    `pointcept/datasets/structure3d.py`): scene/room two-level layout."""
+
+    def get_data_list(self) -> List[str]:
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        out = []
+        for s in splits:
+            out += sorted(glob.glob(os.path.join(self.data_root, s, "*", "*.pth")))
+        return out
+
+    def get_data_name(self, idx: int) -> str:
+        path = self.data_list[idx % len(self.data_list)]
+        scene = os.path.basename(os.path.dirname(path))
+        room = os.path.splitext(os.path.basename(path))[0]
+        return f"{scene}_{room}"
+
+
+@DATASETS.register_module()
+class ArkitScenesDataset(DefaultDataset):
+    """ARKitScenes meshes (reference `pointcept/datasets/arkitscenes.py`):
+    unlabeled scans (segment all zeros) evaluated through the ScanNet200
+    label space."""
+
+    class2id = np.array(VALID_CLASS_IDS_200)
+
+    def get_data(self, idx: int) -> Dict:
+        data = self._load(self.data_list[idx % len(self.data_list)])
+        coord = np.asarray(data["coord"], np.float32)
+        return dict(
+            coord=coord,
+            color=np.asarray(data["color"], np.float32),
+            normal=np.asarray(data["normal"], np.float32),
+            segment=np.zeros((coord.shape[0],), np.int64),
+        )
+
+
+@DATASETS.register_module()
+class ScanNetPairDataset:
+    """Overlapping ScanNet view pairs for contrastive pretraining
+    (reference `pointcept/datasets/scannet_pair.py:23-89`, used by
+    MaskedSceneContrast/PointContrast): pairs above `overlap_threshold`
+    from per-scene pcd/overlap.txt, each view transformed independently
+    and merged under view1_/view2_ key prefixes."""
+
+    def __init__(
+        self,
+        data_root: str = "data/scannet_pair",
+        overlap_threshold: float = 0.3,
+        view1_transform=None,
+        view2_transform=None,
+        loop: int = 1,
+        **kwargs,
+    ):
+        self.data_root = data_root
+        self.overlap_threshold = overlap_threshold
+        self.view1_transform = Compose(view1_transform)
+        self.view2_transform = Compose(view2_transform)
+        self.loop = loop
+        self.data_list = self.get_data_list()
+
+    def get_data_list(self) -> List:
+        out = []
+        for overlap_file in sorted(
+            glob.glob(os.path.join(self.data_root, "*", "pcd", "overlap.txt"))
+        ):
+            with open(overlap_file) as f:
+                pairs = [line.strip().split() for line in f if line.strip()]
+            out += [
+                p[:2] for p in pairs if float(p[2]) > self.overlap_threshold
+            ]
+        return out
+
+    def get_data(self, idx: int):
+        pair = self.data_list[idx % len(self.data_list)]
+        return (
+            _load_scene(self.data_root + pair[0]),
+            _load_scene(self.data_root + pair[1]),
+        )
+
+    def get_data_name(self, idx: int) -> str:
+        return os.path.basename(
+            self.data_list[idx % len(self.data_list)][0]
+        ).split(".")[0]
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        rng = rng or np.random.default_rng()
+        v1, v2 = self.get_data(idx)
+        v1 = self.view1_transform(v1, rng)
+        v2 = self.view2_transform(v2, rng)
+        out = {f"view1_{k}": v for k, v in v1.items()}
+        out.update({f"view2_{k}": v for k, v in v2.items()})
+        return out
+
+    def __len__(self):
+        return len(self.data_list) * self.loop
 
 
 @DATASETS.register_module()

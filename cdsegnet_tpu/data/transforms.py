@@ -640,6 +640,90 @@ class CropBoundary:
 
 
 @TRANSFORMS.register_module()
+class ClipGaussianJitter:
+    """Gaussian coordinate jitter (reference `transform.py:371-383`)."""
+
+    def __init__(self, mean=0.0, std=1.0):
+        self.mean = mean
+        self.std = std
+
+    def __call__(self, data, rng):
+        if "coord" in data:
+            data["coord"] = data["coord"] + rng.normal(
+                self.mean, self.std, data["coord"].shape
+            ).astype(data["coord"].dtype)
+        return data
+
+
+@TRANSFORMS.register_module()
+class RandomColorJitter:
+    """Torchvision-style color jitter on 0-255 RGB (reference
+    `transform.py:467-546`): random brightness/contrast/saturation factors
+    and hue shift, each drawn from [1-v, 1+v] (hue from [-h, h]), applied
+    with probability p."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0,
+                 hue=0.0, p=0.95):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = min(max(hue, 0.0), 0.5)
+        self.p = p
+
+    @staticmethod
+    def _blend(a, b, f):
+        return np.clip(f * a + (1 - f) * b, 0, 255)
+
+    def __call__(self, data, rng):
+        if "color" not in data or rng.random() >= self.p:
+            return data
+        color = data["color"][:, :3].astype(np.float64)
+        if self.brightness > 0:
+            f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
+            color = np.clip(color * f, 0, 255)
+        if self.contrast > 0:
+            f = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
+            gray = (
+                0.299 * color[:, 0] + 0.587 * color[:, 1] + 0.114 * color[:, 2]
+            ).mean()
+            color = self._blend(color, gray, f)
+        if self.saturation > 0:
+            f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
+            gray = (
+                0.299 * color[:, 0] + 0.587 * color[:, 1] + 0.114 * color[:, 2]
+            )[:, None]
+            color = self._blend(color, gray, f)
+        if self.hue > 0:
+            shift = rng.uniform(-self.hue, self.hue)
+            hsv = HueSaturationTranslation.rgb_to_hsv(color / 255.0)
+            hsv[..., 0] = (hsv[..., 0] + shift) % 1.0
+            color = np.clip(HueSaturationTranslation.hsv_to_rgb(hsv) * 255.0, 0, 255)
+        data["color"][:, :3] = color.astype(data["color"].dtype)
+        return data
+
+
+@TRANSFORMS.register_module()
+class ContrastiveViewsGenerator:
+    """Two independently augmented views under view1_/view2_ prefixes
+    (reference `transform.py:1081-1104`, used by MaskedSceneContrast)."""
+
+    def __init__(self, view_keys=("coord", "color", "normal", "origin_coord"),
+                 view_trans_cfg=None):
+        self.view_keys = view_keys
+        self.view_trans = Compose(view_trans_cfg)
+
+    def __call__(self, data, rng):
+        for prefix in ("view1_", "view2_"):
+            view = {
+                k: data[k].copy() for k in self.view_keys if k in data
+            }
+            view = self.view_trans(view, rng)
+            for k, v in view.items():
+                data[prefix + k] = v
+        return data
+
+
+@TRANSFORMS.register_module()
 class InstanceParser:
     """Build instance-segmentation targets (reference `transform.py:1106-1161`):
     renumber surviving instances densely, per-point instance centroids, and
