@@ -25,7 +25,13 @@ jax.config.update("jax_enable_x64", True)
 # serialized-attention blocks) and cold compiles are minutes on the remote
 # toolchain; cache compiled executables across processes. Opt out with
 # CDSEG_NO_COMPILE_CACHE=1.
-if not os.environ.get("CDSEG_NO_COMPILE_CACHE"):
+if (
+    not os.environ.get("CDSEG_NO_COMPILE_CACHE")
+    # never persist XLA:CPU AOT results: they bake in host vector features
+    # and can SIGILL when loaded on a different machine (the multi-chip
+    # dryrun re-execs with JAX_PLATFORMS=cpu)
+    and "cpu" not in os.environ.get("JAX_PLATFORMS", "")
+):
     _cache_dir = os.environ.get(
         "CDSEG_COMPILE_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),

@@ -1,0 +1,246 @@
+"""Stratified Transformer (TPU-native).
+
+Counterpart of
+`pointcept/models/stratified_transformer/stratified_transformer_v1m1_origin.py`
+(~800 LoC + the pointops2 `attention_v2`/`rpe_v2` CUDA kernels). The
+reference's stratified attention gives every query a private ragged key
+list: all points of its fine metric window plus FPS-downsampled points of a
+2x coarser window, alternating half-window shifts per block
+(`BasicLayer.forward`, `:453-536`), computed by exact sparse-attention
+kernels.
+
+TPU redesign (static shapes, shared pyramid):
+
+- fine windows = serialized patches (contiguous runs of the space-filling
+  order); shifted windows = alternating curve orders per block, which
+  serves the same decorrelation purpose;
+- stratified distant keys = the aligned patch of the next pyramid level:
+  child order derives from the parent order (prefix property), so coarse
+  patch ``p // 2`` spatially covers fine patch ``p`` — its cluster
+  representatives ARE a spatial downsampling of the 2x window (the FPS
+  analogue);
+- attention runs per fine patch over the concatenated ``[fine K, coarse K]``
+  key set with batch-id + validity masking — an einsum, not a ragged
+  kernel. The per-query exact-sparse form remains available as
+  `ops/sparse_attention.exact_sparse_attention`;
+- the KPConv stem becomes a k3 submanifold conv (kernel-point weighting
+  collapses onto the voxel grid);
+- learned relative position bias over quantized deltas (rpe_v2) is kept,
+  indexed by clamped grid-coordinate differences (`ptv3.RPE`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdsegnet_tpu.models import pyramid as pyr
+from cdsegnet_tpu.models.builder import MODELS
+from cdsegnet_tpu.models.modules import LayerNorm, MaskedBatchNorm, Mlp, SubMConv, drop_path
+from cdsegnet_tpu.models.ptv3 import RPE
+from cdsegnet_tpu.models.structure import PointBatch
+
+
+class StratifiedAttention(nn.Module):
+    """Window attention with stratified coarse keys (reference
+    `WindowAttention`, `:175-336`)."""
+
+    dim: int
+    num_heads: int
+    patch_size: int
+    order_index: int = 0
+    use_rpe: bool = True
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, level: pyr.Level, coarse: Optional[pyr.Level],
+                 coarse_feat, deterministic=True):
+        c, h, k = self.dim, self.num_heads, self.patch_size
+        d = c // h
+        pp = level.point
+        n = pp.num_points
+        o = self.order_index % pp.orders.shape[0]
+        order, inverse = pp.orders[o], pp.inverses[o]
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(
+            jnp.take(feat, order, axis=0)
+        ).reshape(n // k, k, h, d)
+        kv_fine = nn.Dense(
+            2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
+        )(jnp.take(feat, order, axis=0)).reshape(n // k, k, 2, h, d)
+        bs_q = jnp.take(pp.batch, order).reshape(n // k, k)
+        ms_q = jnp.take(pp.mask, order).reshape(n // k, k)
+        gc_q = jnp.take(pp.grid_coord, order, axis=0).reshape(n // k, k, 3)
+
+        keys = [kv_fine]
+        bs_k = [bs_q]
+        ms_k = [ms_q]
+        gc_k = [gc_q]
+        p = n // k  # fine patch count
+        if coarse is not None and coarse.point.num_points % p == 0:
+            cp = coarse.point
+            m = cp.num_points
+            kc = m // p  # coarse slots aligned to each fine patch
+            oc = o % cp.orders.shape[0]
+            corder = cp.orders[oc]
+            kv_coarse = nn.Dense(
+                2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv_coarse"
+            )(jnp.take(coarse_feat, corder, axis=0))
+            # fine patch p covers coarse sorted slots [p*kc, (p+1)*kc): the
+            # child order is derived from the parent order, so the ranges
+            # are spatially aligned (prefix property)
+            keys.append(kv_coarse.reshape(p, kc, 2, h, d))
+            bs_k.append(jnp.take(cp.batch, corder).reshape(p, kc))
+            ms_k.append(jnp.take(cp.mask, corder).reshape(p, kc))
+            gc_k.append(
+                (jnp.take(cp.grid_coord, corder, axis=0) * 2).reshape(p, kc, 3)
+            )
+        kv = jnp.concatenate(keys, axis=1)  # (P, K + Kc, 2, H, D)
+        bsk = jnp.concatenate(bs_k, axis=1)
+        msk = jnp.concatenate(ms_k, axis=1)
+        gck = jnp.concatenate(gc_k, axis=1)
+
+        logits = jnp.einsum(
+            "pqhd,pkhd->phqk", q * (d ** -0.5), kv[:, :, 0]
+        ).astype(jnp.float32)
+        if self.use_rpe:
+            rel = gc_q[:, :, None, :] - gck[:, None, :, :]
+            logits = logits + RPE(k, h, name="rpe")(rel).astype(jnp.float32)
+        ok = (bs_q[:, :, None] == bsk[:, None, :]) & msk[:, None, :]
+        logits = jnp.where(ok[:, None], logits, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.where(ok[:, None], attn, 0.0).astype(kv.dtype)
+        out = jnp.einsum("phqk,pkhd->pqhd", attn, kv[:, :, 1]).reshape(n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return jnp.take(out, inverse, axis=0)
+
+
+class StratifiedBlock(nn.Module):
+    """LN + stratified window attention + MLP (reference
+    `SwinTransformerBlock`, `:338-395`)."""
+
+    dim: int
+    num_heads: int
+    patch_size: int
+    order_index: int = 0
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    use_rpe: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, level, coarse, coarse_feat, deterministic=True):
+        f = LayerNorm(self.dim, dtype=self.dtype, name="norm1")(feat)
+        f = StratifiedAttention(
+            dim=self.dim, num_heads=self.num_heads, patch_size=self.patch_size,
+            order_index=self.order_index, use_rpe=self.use_rpe,
+            dtype=self.dtype, name="attn",
+        )(f, level, coarse, coarse_feat, deterministic)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0) else None
+        )
+        feat = feat + drop_path(f, self.drop_path_rate, rng, deterministic)
+        f = LayerNorm(self.dim, dtype=self.dtype, name="norm2")(feat)
+        f = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+                dtype=self.dtype, name="mlp")(f, deterministic)
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.drop_path_rate > 0.0) else None
+        )
+        return feat + drop_path(f, self.drop_path_rate, rng, deterministic)
+
+
+@MODELS.register_module("StratifiedTransformer")
+class StratifiedTransformer(nn.Module):
+    """Reference `StratifiedTransformer` (`:650-812`): KPConv-style stem,
+    stratified window-attention stages with TransitionDown, linear-upsample
+    decoder with skip connections."""
+
+    in_channels: int = 6
+    num_classes: int = 20
+    channels: Tuple[int, ...] = (48, 96, 192, 384)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    patch_size: int = 128
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.3
+    use_rpe: bool = True
+    orders: Tuple[str, ...] = ("z", "z-trans", "hilbert", "hilbert-trans")
+    capacity_div: Tuple[int, ...] = (1, 2, 4, 8, 16)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        deterministic = not train
+        n_stages = len(self.channels)
+        n0 = point.num_points
+        k = self.patch_size
+        caps = [
+            pyr.round_up(max(n0 // d, k), k)
+            for d in self.capacity_div[1: n_stages + 1]
+        ]
+        levels, _ = pyr.build_pyramid(
+            point, strides=(2,) * n_stages, capacities=caps, orders=self.orders,
+            shuffle_key=None, stem_kernel=3,
+        )
+
+        # stem (reference KPConvSimpleBlock + KPConvResBlock, `:566-648`)
+        f = SubMConv(self.in_channels, self.channels[0], 27, use_bias=False,
+                     dtype=self.dtype, name="stem_conv")(
+            point.feat, levels[0].point.neighbor_idx
+        )
+        f = MaskedBatchNorm(self.channels[0], dtype=self.dtype, name="stem_bn")(
+            f, levels[0].point.mask, use_running_average=not train
+        )
+        f = nn.relu(f)
+
+        dp = list(np.linspace(0, self.drop_path, sum(self.depths)))
+        skips = []
+        for s in range(n_stages):
+            lvl = levels[s]
+            if s > 0:
+                # TransitionDown (reference `:141-172`): pool + proj + norm
+                f = nn.Dense(self.channels[s], use_bias=False, dtype=self.dtype,
+                             name=f"down{s}_proj")(f)
+                f = pyr.pool_features(f, lvl, reduce="max")
+                f = MaskedBatchNorm(self.channels[s], dtype=self.dtype,
+                                    name=f"down{s}_bn")(
+                    f, lvl.point.mask, use_running_average=not train
+                )
+                f = nn.relu(f)
+            coarse = levels[s + 1]
+            # coarse stratified keys carry pooled features of the level below
+            coarse_feat = pyr.pool_features(f, coarse, reduce="max")
+            for i in range(self.depths[s]):
+                f = StratifiedBlock(
+                    dim=self.channels[s], num_heads=self.num_heads[s],
+                    patch_size=k, order_index=i % len(self.orders),
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=float(dp[sum(self.depths[:s]) + i]),
+                    use_rpe=self.use_rpe, dtype=self.dtype,
+                    name=f"stage{s}_block{i}",
+                )(f, lvl, coarse, coarse_feat, deterministic)
+            skips.append(f)
+
+        # decoder: Upsample (reference `:543-563`) = linear on skip + lifted
+        f = skips[-1]
+        for s in reversed(range(n_stages - 1)):
+            f = nn.Dense(self.channels[s], dtype=self.dtype,
+                         name=f"up{s}_proj")(f)
+            f = pyr.unpool_features(f, levels[s + 1])
+            skip = nn.Dense(self.channels[s], dtype=self.dtype,
+                            name=f"up{s}_skip")(skips[s])
+            f = f + skip
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
+            f.astype(jnp.float32)
+        )
+        return point.replace(feat=logits)
+
+
+MODELS.register_module("StratifiedTransformer-v1m1", StratifiedTransformer)

@@ -70,3 +70,48 @@ def test_octformer(rng):
              head_up=2, capacity_div=(1, 2, 4, 8, 8, 8)),
         pt,
     )
+
+
+def test_stratified():
+    rng = np.random.RandomState(3)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    _check_forward_and_grad(
+        dict(type="StratifiedTransformer", in_channels=6, num_classes=5,
+             channels=(8, 8, 16, 16), depths=(1, 1, 1, 1),
+             num_heads=(2, 2, 2, 2), patch_size=16,
+             capacity_div=(1, 2, 4, 8, 16)),
+        pt,
+    )
+
+
+def test_exact_sparse_attention_matches_dense():
+    """The attention_v2-equivalent op equals dense attention when every
+    query's key list is the full set."""
+    import jax
+
+    from cdsegnet_tpu.ops.sparse_attention import exact_sparse_attention
+
+    rng = np.random.RandomState(0)
+    n, h, d = 24, 2, 8
+    q = jnp.asarray(rng.randn(n, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, d).astype(np.float32))
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (n, n))
+    out = exact_sparse_attention(q, k, v, idx)
+    ref = jax.nn.softmax(
+        jnp.einsum("nhd,mhd->hnm", q * d**-0.5, k), axis=-1
+    )
+    ref = jnp.einsum("hnm,mhd->nhd", ref, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # sparse subsets + missing slots: each query its 4 predecessors
+    s = 4
+    rows = []
+    for i in range(n):
+        row = [j for j in range(max(0, i - s), i)] + [n] * (s - min(i, s))
+        rows.append(row)
+    idx2 = jnp.asarray(np.asarray(rows, np.int32))
+    out2 = exact_sparse_attention(q, k, v, idx2)
+    assert np.isfinite(np.asarray(out2[1:])).all()
+    # query 0 has no valid keys -> zero output
+    np.testing.assert_allclose(np.asarray(out2[0]), 0.0, atol=1e-6)
