@@ -149,3 +149,4 @@ import cdsegnet_tpu.models.spvcnn  # noqa: E402,F401  (registers SPVCNN)
 import cdsegnet_tpu.models.oacnns  # noqa: E402,F401  (registers OACNNs)
 import cdsegnet_tpu.models.octformer  # noqa: E402,F401  (registers OctFormer)
 import cdsegnet_tpu.models.stratified  # noqa: E402,F401  (registers StratifiedTransformer)
+import cdsegnet_tpu.models.msc  # noqa: E402,F401  (registers MSC)

@@ -342,6 +342,10 @@ class Criteria:
     def __call__(self, out: Dict[str, jnp.ndarray], mode: str = "train"):
         terms = self._terms(out)
         if not terms:
+            # "loss computation occur in model" (reference `builder.py:25-27`,
+            # used by the self-supervised wrappers like MaskedSceneContrast)
+            if "loss" in out:
+                return out["loss"]
             return jnp.asarray(0.0, jnp.float32)
         if mode == "eval" or self.loss_type == "EW":
             return sum(terms)

@@ -115,3 +115,53 @@ def test_exact_sparse_attention_matches_dense():
     assert np.isfinite(np.asarray(out2[1:])).all()
     # query 0 has no valid keys -> zero output
     np.testing.assert_allclose(np.asarray(out2[0]), 0.0, atol=1e-6)
+
+
+def test_masked_scene_contrast():
+    """MSC pretraining: cross masks are complementary per grid cell, the
+    InfoNCE + reconstruction losses are finite and produce gradients."""
+    import jax
+
+    from helpers import synthetic_batch
+
+    rng = np.random.RandomState(5)
+    pt1 = synthetic_batch(rng, counts=(200,), num_points=256, depth=6)
+    # view2 = same points, tiny perturbation (well inside match radius)
+    pt2 = pt1.replace(coord=pt1.coord + 0.001)
+    origin = pt1.coord
+    bb = dict(type="SpUNet-v1m1", in_channels=6, num_classes=16,
+              base_channels=8, channels=(8, 8, 16, 16, 16, 16, 8, 8),
+              layers=(1, 1, 1, 1, 1, 1, 1, 1), capacity_div=(1, 2, 4, 8, 8))
+    model = build_model(dict(
+        type="MSC", backbone=bb, backbone_in_channels=6,
+        backbone_out_channels=16, matching_max_radius=0.05,
+        matching_max_pair=128, mask_grid_size=0.5,
+    ))
+    tgt = dict(color=np.asarray(rng.rand(256, 3), np.float32),
+               normal=np.asarray(rng.rand(256, 3), np.float32))
+    tgt = {k: jnp.asarray(v) for k, v in tgt.items()}
+    variables = jax.jit(
+        lambda r: model.init(r, pt1, pt2, origin, origin, tgt, tgt, train=False)
+    )(RNGS)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt1, pt2, origin, origin, tgt, tgt, train=True,
+            rngs=RNGS, mutable=["batch_stats"],
+        )
+        return out["loss"], out
+
+    (loss, out), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+    assert "nce_loss" in out and "color_loss" in out and "normal_loss" in out
+    # complementary masks: a point masked in view1 is never masked in view2
+    m1 = np.asarray(out["view1_mask"])
+    m2 = np.asarray(out["view2_mask"])
+    assert not (m1 & m2).any()
+    assert m1.any() and m2.any()
+    g = grads["mask_token"]
+    assert np.isfinite(np.asarray(g)).all()
