@@ -189,6 +189,39 @@ def offset_cosine_loss(
     return jnp.sum(cos * v) / jnp.maximum(jnp.sum(v), 1e-8)
 
 
+def cac_distill_loss(
+    pred: jnp.ndarray,
+    soft: jnp.ndarray,
+    target: jnp.ndarray,
+    valid: jnp.ndarray,
+    smoothness: float = 0.5,
+    eps: float = 0.0,
+) -> jnp.ndarray:
+    """CAC knowledge-distillation loss (reference
+    `context_aware_classifier_v1m1_base.py:151-198`): cross-entropy of the
+    refined logits against ``smoothness``-mixed (teacher-softmax, one-hot)
+    labels, weighted per point by the teacher's entropy, averaged per class
+    and then over the classes present. The reference's per-class Python loop
+    becomes one-hot matmuls (class axis is static)."""
+    num_classes = pred.shape[-1]
+    soft = jax.lax.stop_gradient(soft.astype(jnp.float32))
+    sm = jax.nn.softmax(soft, axis=-1)
+    vm = (valid & (target >= 0)).astype(jnp.float32)
+    oh = jax.nn.one_hot(jnp.clip(target, 0, num_classes - 1), num_classes)
+    oh = oh * vm[:, None]
+    smoothed = smoothness * sm + (1.0 - smoothness) * oh
+    if eps > 0:
+        smoothed = smoothed * (1 - eps) + (1 - smoothed) * eps / (num_classes - 1)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    l_pt = -jnp.sum(logp * smoothed, axis=-1)  # [n]
+    ent = -jnp.sum(sm * jnp.log(sm + 1e-4), axis=-1) * vm  # [n]
+    per_num = jnp.einsum("n,nk->k", l_pt * ent, oh)
+    per_den = jnp.einsum("n,nk->k", ent, oh)
+    per_loss = per_num / (per_den + 1e-4)
+    present = (jnp.sum(oh, axis=0) > 0).astype(jnp.float32)
+    return jnp.sum(per_loss * present) / (jnp.sum(present) + 1e-4)
+
+
 def d3pm_kl_loss(
     pred_q_logits: jnp.ndarray, true_q_logits: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:
@@ -217,6 +250,8 @@ _ALLOWED_KEYS = {
     "BinaryFocalLoss": {"type", "loss_weight", "gamma", "alpha"},
     "DiceLoss": {"type", "loss_weight", "smooth", "exponent", "ignore_index"},
     "D3PMKLLoss": {"type", "loss_weight", "pred", "target"},
+    "CACDistillLoss": {"type", "loss_weight", "pred", "soft", "smoothness",
+                       "eps"},
     "OffsetL1Loss": {"type", "loss_weight"},
     "OffsetCosineLoss": {"type", "loss_weight"},
 }
@@ -323,6 +358,18 @@ class Criteria:
                     w * fn(
                         out["offset_pred"], out["offset_target"],
                         out["instance_valid"],
+                    )
+                )
+            elif kind == "CACDistillLoss":
+                sk = cfg.get("soft", "cac_pred")
+                if sk not in out:
+                    continue
+                terms.append(
+                    w * cac_distill_loss(
+                        out[cfg.get("pred", "n_pred")], out[sk],
+                        out["n_target"], out["seg_valid"],
+                        smoothness=cfg.get("smoothness", 0.5),
+                        eps=cfg.get("eps", 0.0),
                     )
                 )
             elif kind == "D3PMKLLoss":
