@@ -154,7 +154,11 @@ class MultiDatasetLoader:
             for i in list(live):
                 for _ in range(self.ratios[i]):
                     try:
-                        yield next(iters[i])
+                        batch = next(iters[i])
                     except StopIteration:
                         live.remove(i)
                         break
+                    # host-side provenance tag (popped by Trainer.train to
+                    # select the per-dataset/condition train step)
+                    batch["_dataset_idx"] = i
+                    yield batch

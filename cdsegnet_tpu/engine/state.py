@@ -80,12 +80,17 @@ def make_train_step(
     depth: int,
     num_scenes: int,
     mesh: Optional[Mesh] = None,
+    model_kwargs: Optional[Dict] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
     With a mesh, the batch dict must carry a leading device axis; shard_map
     runs one bucket per device and averages grads via psum over ICI.
+    ``model_kwargs`` are extra *static* arguments forwarded to the model
+    (e.g. PPT's per-dataset ``condition`` index — one compiled step per
+    dataset, built by ``MultiDatasetTrainer``).
     """
+    model_kwargs = model_kwargs or {}
 
     def local_step(state: TrainState, batch: Dict[str, jnp.ndarray], dev_idx):
         point = batch_to_point(batch, depth, num_scenes)
@@ -101,6 +106,7 @@ def make_train_step(
                 train=True,
                 rngs=rngs,
                 mutable=["batch_stats"],
+                **model_kwargs,
             )
             loss = criteria(out, mode="train")
             return loss, (out, mutated["batch_stats"])
@@ -150,17 +156,34 @@ def make_train_step(
     return jax.jit(smapped)
 
 
-def make_eval_step(model, criteria: Optional[Criteria], depth: int, num_scenes: int):
-    """Jitted SSI inference step returning logits (+ optional eval loss)."""
+def make_eval_step(model, criteria: Optional[Criteria], depth: int,
+                   num_scenes: int, model_kwargs: Optional[Dict] = None):
+    """Jitted SSI inference step returning logits (+ optional eval loss).
+
+    Models exposing an ``inference`` method (the CNF family's SSI) use it;
+    everything else evaluates through the plain forward, with ``n_pred``
+    exported as ``seg_logits`` for the evaluator.
+    """
+    model_kwargs = model_kwargs or {}
+    has_inference = hasattr(type(model), "inference")
 
     @jax.jit
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         point = batch_to_point(batch, depth, num_scenes)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if has_inference:
+            return model.apply(
+                variables, point, method=type(model).inference,
+                rngs=dict(diffusion=rng), **model_kwargs,
+            )
         out = model.apply(
-            variables, point, method=type(model).inference,
-            rngs=dict(diffusion=rng),
+            variables, point, train=False, rngs=dict(diffusion=rng),
+            **model_kwargs,
         )
+        if not isinstance(out, dict):
+            out = dict(n_pred=out.feat)
+        if "seg_logits" not in out and "n_pred" in out:
+            out = dict(out, seg_logits=out["n_pred"])
         return out
 
     return step_fn

@@ -161,6 +161,11 @@ class Trainer:
         for h in self.hooks:
             getattr(h, name)()
 
+    def _select_train_step(self, ds_idx):
+        """Default: one step for all batches. ``MultiDatasetTrainer``
+        overrides to pick a per-condition specialization."""
+        return self.train_step
+
     def train(self):
         self._call_hooks("before_train")
         depth = self.cfg.get("serialization_depth", 16)
@@ -170,12 +175,14 @@ class Trainer:
             for self.step_in_epoch, batch in enumerate(
                 self.train_loader.epoch(self.epoch)
             ):
+                ds_idx = batch.pop("_dataset_idx", None)
                 if self.mesh is None:
                     batch = {
                         k: v[0] for k, v in batch.items()
                     }  # strip device axis
                 self._call_hooks("before_step")
-                self.state, metrics = self.train_step(self.state, batch)
+                step_fn = self._select_train_step(ds_idx)
+                self.state, metrics = step_fn(self.state, batch)
                 self.comm_info["metrics"] = {
                     k: float(v) for k, v in metrics.items()
                 }
@@ -206,9 +213,15 @@ class MultiDatasetTrainer(Trainer):
         )
         loaders, ratios = [], []
         self.train_ds = []
+        # sub-dataset -> PPT condition mapping: each sub cfg may name its
+        # `condition` (reference tags samples via an Add transform,
+        # `configs/.../semseg-ppt-*.py`); resolved against the model's
+        # `conditions` tuple lazily in `_select_train_step`
+        self.ds_conditions = []
         for sub in train_cfg["datasets"]:
             sub = dict(sub)
             ratio = int(sub.pop("loop", 1))
+            self.ds_conditions.append(sub.pop("condition", None))
             sub.setdefault("loop", 1)
             ds = build_dataset(sub)
             self.train_ds.append(ds)
@@ -224,3 +237,23 @@ class MultiDatasetTrainer(Trainer):
             )
             ratios.append(ratio)
         return MultiDatasetLoader(loaders, ratios)
+
+    def _select_train_step(self, ds_idx):
+        """One compiled train step per dataset condition (PPT: the condition
+        is a static model argument — head widths and PDNorm selections differ
+        per dataset)."""
+        conditions = tuple(self.cfg.model.get("conditions", ()) or ())
+        if ds_idx is None or not conditions:
+            return self.train_step
+        name = self.ds_conditions[ds_idx]
+        cond = conditions.index(name) if name in conditions else ds_idx
+        if not hasattr(self, "_cond_steps"):
+            self._cond_steps = {}
+        if cond not in self._cond_steps:
+            self._cond_steps[cond] = make_train_step(
+                self.model, self.criteria, self.tx,
+                self.cfg.get("serialization_depth", 16),
+                self.cfg.get("scenes_per_device", 2), self.mesh,
+                model_kwargs=dict(condition=cond),
+            )
+        return self._cond_steps[cond]

@@ -150,3 +150,6 @@ import cdsegnet_tpu.models.oacnns  # noqa: E402,F401  (registers OACNNs)
 import cdsegnet_tpu.models.octformer  # noqa: E402,F401  (registers OctFormer)
 import cdsegnet_tpu.models.stratified  # noqa: E402,F401  (registers StratifiedTransformer)
 import cdsegnet_tpu.models.msc  # noqa: E402,F401  (registers MSC)
+import cdsegnet_tpu.models.cac  # noqa: E402,F401  (registers CAC-v1m1)
+import cdsegnet_tpu.models.ppt  # noqa: E402,F401  (registers PPT-v1m1/v1m2)
+import cdsegnet_tpu.models.swin3d  # noqa: E402,F401  (registers Swin3D-v1m1)

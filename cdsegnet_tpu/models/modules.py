@@ -17,6 +17,76 @@ import jax.numpy as jnp
 from cdsegnet_tpu.ops.subm_conv import subm_conv_apply
 
 
+class PDMaskedBatchNorm(nn.Module):
+    """Prompt-Driven masked BatchNorm (reference ``PDBatchNorm``,
+    `point_transformer_v2m3_pdnorm.py:27-78` / `spconv_unet_v1m3_pdnorm.py`).
+
+    Per-condition (dataset) BN parameters and running statistics, stored as
+    stacked ``[num_conditions, C]`` arrays and selected by a *static* Python
+    condition index — one jit specialization per dataset, which matches the
+    one-dataset-per-batch contract of multi-dataset training (the reference's
+    ``decouple=True``; ``num_conditions=1`` is its ``decouple=False``).
+    ``adaptive=True`` adds the FiLM modulation from the data-driven context
+    vector (SiLU + Dense -> shift/scale).
+    """
+
+    features: int
+    num_conditions: int = 1
+    adaptive: bool = False
+    affine: bool = True
+    eps: float = 1e-3
+    momentum: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool = False,
+                 condition: int = 0, context=None):
+        k, c = self.num_conditions, self.features
+        assert 0 <= condition < k, f"condition {condition} out of range {k}"
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((k, c), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((k, c), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value[condition], ra_var.value[condition]
+        else:
+            xf = x.astype(jnp.float32)
+            m = mask.astype(jnp.float32)[:, None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(xf * m, axis=0) / cnt
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / cnt
+            if not self.is_initializing():
+                # only the active condition's running stats advance
+                ra_mean.value = ra_mean.value.at[condition].set(
+                    (1 - self.momentum) * ra_mean.value[condition]
+                    + self.momentum * mean
+                )
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_var.value = ra_var.value.at[condition].set(
+                    (1 - self.momentum) * ra_var.value[condition]
+                    + self.momentum * unbiased
+                )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param(
+                "scale", nn.initializers.ones, (k, c), jnp.float32
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (k, c), jnp.float32
+            )
+            y = y * scale[condition] + bias[condition]
+        if self.adaptive:
+            assert context is not None, "adaptive PDNorm needs a context vector"
+            mod = nn.Dense(2 * c, dtype=jnp.float32, name="modulation")(
+                nn.silu(context.astype(jnp.float32))
+            )
+            shift, scale2 = jnp.split(mod, 2, axis=-1)
+            y = y * (1.0 + scale2) + shift
+        return y.astype(self.dtype)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over valid points only, with running statistics.
 

@@ -37,6 +37,9 @@ class GroupedVectorAttention(nn.Module):
     k_neighbors: int = 16
     pe_multiplier: bool = False
     pe_bias: bool = True
+    # "linear" (m2) or "grouped" (m1's GroupedLinear: per-channel weights
+    # summed within each group, `point_transformer_v2m1_origin.py:24-63`)
+    weight_encoding: str = "linear"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,9 +67,18 @@ class GroupedVectorAttention(nn.Module):
             )
             relation = relation + peb
             v_n = v_n + peb
-        w = nn.Dense(g, dtype=self.dtype, name="weight_fc2")(
-            nn.gelu(nn.Dense(c, dtype=self.dtype, name="weight_fc1")(relation))
-        )  # (N, K, G)
+        w = nn.gelu(nn.Dense(c, dtype=self.dtype, name="weight_fc1")(relation))
+        if self.weight_encoding == "grouped":
+            gw = self.param(
+                "grouped_weight",
+                nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+                (1, c), jnp.float32,
+            ).astype(self.dtype)
+            w = jnp.sum(
+                (w * gw).reshape(n, self.k_neighbors, g, c // g), axis=-1
+            )
+        else:
+            w = nn.Dense(g, dtype=self.dtype, name="weight_fc2")(w)  # (N,K,G)
         valid = (idx < n)[..., None]
         w = jnp.where(valid, w.astype(jnp.float32), -1e9)
         w = jax.nn.softmax(w, axis=1).astype(v_n.dtype)
@@ -79,23 +91,30 @@ class BlockV2(nn.Module):
     channels: int
     groups: int
     k_neighbors: int = 16
+    weight_encoding: str = "linear"
+    # PDNorm (m3): >0 enables per-condition BN (`point_transformer_v2m3_pdnorm.py`)
+    num_conditions: int = 0
+    pdnorm_adaptive: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool = False):
+    def __call__(self, feat, coord, mask, train: bool = False,
+                 condition: int = 0, context=None):
+        from cdsegnet_tpu.models.spunet import apply_norm, make_norm
+
         c = self.channels
+        pd = dict(num_conditions=self.num_conditions,
+                  adaptive=self.pdnorm_adaptive, dtype=self.dtype)
         f = GroupedVectorAttention(
             channels=c, groups=self.groups, k_neighbors=self.k_neighbors,
-            dtype=self.dtype, name="attn",
+            weight_encoding=self.weight_encoding, dtype=self.dtype, name="attn",
         )(feat, coord, mask, train)
-        f = MaskedBatchNorm(c, dtype=self.dtype, name="bn")(
-            f, mask, use_running_average=not train
-        )
+        f = apply_norm(make_norm(c, "bn", **pd), f, mask, train,
+                       condition, context)
         f = nn.relu(f)
         f = nn.Dense(c, dtype=self.dtype, name="fc")(f)
-        f = MaskedBatchNorm(c, dtype=self.dtype, name="bn2")(
-            f, mask, use_running_average=not train
-        )
+        f = apply_norm(make_norm(c, "bn2", **pd), f, mask, train,
+                       condition, context)
         return nn.relu(feat + f)
 
 
@@ -115,11 +134,19 @@ class PointTransformerV2(nn.Module):
     dec_groups: Tuple[int, ...] = (6, 12, 24, 48)
     k_neighbors: int = 16
     capacity_div: Tuple[int, ...] = (1, 2, 8, 32, 128)
+    weight_encoding: str = "linear"
+    num_conditions: int = 0
+    pdnorm_adaptive: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False,
+                 condition: int = 0, context=None):
         num_stages = len(self.enc_channels)
+        blk = dict(k_neighbors=self.k_neighbors,
+                   weight_encoding=self.weight_encoding,
+                   num_conditions=self.num_conditions,
+                   pdnorm_adaptive=self.pdnorm_adaptive, dtype=self.dtype)
         n0 = point.num_points
         caps = [
             pyr.round_up(max(n0 // d, 8), 8)
@@ -132,8 +159,8 @@ class PointTransformerV2(nn.Module):
         feat = nn.Dense(self.patch_embed_channels, dtype=self.dtype,
                         name="patch_embed")(point.feat)
         feat = BlockV2(self.patch_embed_channels, self.patch_embed_groups,
-                       self.k_neighbors, dtype=self.dtype, name="embed_block")(
-            feat, point.coord, point.mask, train
+                       name="embed_block", **blk)(
+            feat, point.coord, point.mask, train, condition, context
         )
         skips = [feat]
         for s in range(num_stages):
@@ -143,9 +170,9 @@ class PointTransformerV2(nn.Module):
             f = pyr.pool_features(f, lvl, reduce="max")
             for i in range(self.enc_depths[s]):
                 f = BlockV2(self.enc_channels[s], self.enc_groups[s],
-                            self.k_neighbors, dtype=self.dtype,
-                            name=f"enc{s}_block{i}")(
-                    f, lvl.point.coord, lvl.point.mask, train
+                            name=f"enc{s}_block{i}", **blk)(
+                    f, lvl.point.coord, lvl.point.mask, train,
+                    condition, context
                 )
             skips.append(f)
         f = skips[-1]
@@ -160,14 +187,31 @@ class PointTransformerV2(nn.Module):
             lo = levels[s]
             for i in range(self.dec_depths[s]):
                 f = BlockV2(self.dec_channels[s], self.dec_groups[s],
-                            self.k_neighbors, dtype=self.dtype,
-                            name=f"dec{s}_block{i}")(
-                    f, lo.point.coord, lo.point.mask, train
+                            name=f"dec{s}_block{i}", **blk)(
+                    f, lo.point.coord, lo.point.mask, train,
+                    condition, context
                 )
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
             f.astype(jnp.float32)
         )
         return point.replace(feat=logits)
+
+
+@MODELS.register_module("PT-v2m1")
+class PointTransformerV2M1(PointTransformerV2):
+    """PTv2 mode 1 (reference `point_transformer_v2m1_origin.py`): identical
+    to m2 except the weight encoding's second linear is the per-channel
+    GroupedLinear."""
+
+    weight_encoding: str = "grouped"
+
+
+@MODELS.register_module("PT-v2m3")
+class PointTransformerV2M3(PointTransformerV2):
+    """PTv2 mode 3 (reference `point_transformer_v2m3_pdnorm.py`): m2 with
+    Prompt-Driven Normalization for Point Prompt Training. Configure
+    ``num_conditions``/``pdnorm_adaptive`` and pass ``condition``/``context``
+    at call time."""
 
 
 class VectorAttentionV1(nn.Module):
