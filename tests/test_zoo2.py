@@ -165,3 +165,66 @@ def test_masked_scene_contrast():
     assert m1.any() and m2.any()
     g = grads["mask_token"]
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cac_segmentor(rng):
+    """CAC: refined cosine logits in both modes, adaptive-perspective logits
+    in train, all four loss terms finite with nonzero grads."""
+    from cdsegnet_tpu.models.losses import Criteria
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    bb = dict(type="SpUNet-v1m1", in_channels=6, num_classes=0,
+              base_channels=8, channels=(8, 8, 16, 16, 16, 16, 8, 8),
+              layers=(1, 1, 1, 1, 1, 1, 1, 1), capacity_div=(1, 2, 4, 8, 8))
+    model = build_model(dict(
+        type="CAC-v1m1", backbone=bb, num_classes=5,
+        backbone_out_channels=8, cos_temp=15,
+    ))
+    criteria = Criteria([
+        dict(type="CrossEntropyLoss", pred="n_pred", loss_weight=1.0),
+        dict(type="CrossEntropyLoss", pred="cac_pred", loss_weight=1.0),
+        dict(type="CrossEntropyLoss", pred="pre_pred", loss_weight=1.0),
+        dict(type="CACDistillLoss", pred="n_pred", soft="cac_pred",
+             loss_weight=1.0),
+    ])
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    out = jax.jit(lambda v, p: model.apply(v, p, train=False))(variables, pt)
+    assert out["n_pred"].shape == (pt.num_points, 5)
+    assert "cac_pred" not in out  # eval has no ground-truth prototypes
+    # cosine logits are bounded by the temperature
+    assert float(jnp.max(jnp.abs(out["n_pred"]))) <= 15.0 + 1e-4
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        return criteria(o), o
+
+    (loss, o), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert o["cac_pred"].shape == (pt.num_points, 5)
+    for name in ("seg_head_kernel", "proj_0", "apd_proj_0", "feat_proj_0"):
+        g = grads[name] if name == "seg_head_kernel" else grads[name]["kernel"]
+        assert float(jnp.max(jnp.abs(g))) > 0, name
+
+
+def test_swin3d(rng):
+    """Swin3D: cRSE window attention forward + grad; table params exist for
+    each enabled signal."""
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    cfg = dict(type="Swin3D-v1m1", in_channels=6, num_classes=5,
+               base_grid_size=0.02, depths=(1, 1, 1), channels=(8, 16, 16),
+               num_heads=(2, 2, 2), window_sizes=(5, 7, 7), quant_size=2,
+               patch_size=16, capacity_div=(1, 2, 4), cRSE="XYZ_RGB",
+               color_slice=(0, 3), normal_slice=(3, 6))
+    _check_forward_and_grad(cfg, pt)
+    model = build_model(cfg)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    attn0 = variables["params"]["layer0_block0"]["attn"]
+    for sig in ("xyz", "rgb"):
+        for t in ("query", "key", "value"):
+            assert f"{t}_{sig}_table" in attn0
+    assert "query_norm_table" not in attn0
