@@ -71,15 +71,22 @@ class SemSegTester:
             return self._jit_cache[n]
         model = self.model
 
+        model_kwargs = dict(self.cfg.get("model_kwargs", {}) or {})
+
         @jax.jit
         def fn(variables, batch, noise):
             point = batch_to_point(batch, self.depth, 1)
-            if isinstance(model, PlainSegmentor):
-                out = model.apply(variables, point, train=False)
-                return out["n_pred"]
-            return model.apply(
-                variables, point, noise, method=CNFSegmentor.inference
-            )["seg_logits"]
+            if isinstance(model, CNFSegmentor):
+                return model.apply(
+                    variables, point, noise, method=CNFSegmentor.inference
+                )["seg_logits"]
+            # everything else (PlainSegmentor, zoo wrappers, CAC, PPT with a
+            # static `condition` via cfg.model_kwargs) evaluates through the
+            # plain forward; dict outputs expose n_pred/seg_logits
+            out = model.apply(variables, point, train=False, **model_kwargs)
+            if not isinstance(out, dict):
+                return out.feat
+            return out.get("seg_logits", out["n_pred"])
 
         self._jit_cache[n] = fn
         return fn
