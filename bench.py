@@ -118,8 +118,17 @@ def bench_train(cfg, num_points):
     from cdsegnet_tpu.engine.state import TrainState, make_train_step
     from cdsegnet_tpu.models.losses import build_criteria
 
+    import os
+
     cfg = dict(cfg)
-    cfg["backbone"] = dict(cfg["backbone"], remat_blocks=True)
+    # remat OFF by default: the 104k-point bucket's activations fit v5e HBM
+    # and the full-recompute remat costs ~17% train throughput (61.2k ->
+    # 71.8k points/s/chip measured); set CDSEG_REMAT=1 for larger buckets
+    remat = os.environ.get("CDSEG_REMAT", "0") != "0"
+    cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat)
+    rp = os.environ.get("CDSEG_REMAT_POLICY")  # e.g. "dots_saveable"
+    if rp:
+        cfg["backbone"]["remat_policy"] = rp
     model = build_model(cfg)
     criteria = build_criteria(cfg["criteria"], loss_type="GLS", task_num=2)
     point = _synthetic_point_batch(num_points, 2, depth=10, seed=1)

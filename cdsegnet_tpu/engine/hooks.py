@@ -280,6 +280,63 @@ class InsSegEvaluator(HookBase):
 
 
 @HOOKS.register_module()
+class ClsEvaluator(HookBase):
+    """Shape-classification validation after each epoch (reference
+    `hooks/evaluator.py::ClsEvaluator`): per-category intersection/union
+    histograms from `cls_pred` argmax, logging mIoU/mAcc/allAcc and
+    exporting ``allAcc`` as the checkpoint-selection metric."""
+
+    def __init__(self, interval: int = 1):
+        self.interval = interval
+
+    def after_epoch(self):
+        tr = self.trainer
+        if tr.val_loader is None or (tr.epoch + 1) % self.interval != 0:
+            return
+        num_classes = tr.cfg.data.num_classes
+        inter = np.zeros(num_classes)
+        union = np.zeros(num_classes)
+        target = np.zeros(num_classes)
+        variables = {"params": tr.state.params,
+                     "batch_stats": tr.state.batch_stats}
+        import jax.numpy as jnp
+
+        model = tr.model
+        depth = tr.cfg.get("serialization_depth", 16)
+        jit_fns = {}
+        from cdsegnet_tpu.engine.state import batch_to_point
+
+        for batch, scene in tr.val_loader:
+            n = batch["coord"].shape[0]
+            if n not in jit_fns:
+                jit_fns[n] = jax.jit(
+                    lambda v, b: model.apply(
+                        v, batch_to_point(b, depth, 1), train=False
+                    )["cls_pred"]
+                )
+            pred = int(np.asarray(jit_fns[n](variables, batch)).argmax(-1)[0])
+            label = int(np.asarray(scene.get("category", scene["segment"][0])))
+            if 0 <= label < num_classes:
+                target[label] += 1
+                union[label] += 1  # |pred ∪ target| counts target's class...
+                if pred == label:
+                    inter[label] += 1
+                elif 0 <= pred < num_classes:
+                    union[pred] += 1  # ...plus pred's class when they differ
+        iou = inter / np.maximum(union, 1)
+        acc = inter / np.maximum(target, 1)
+        all_acc = inter.sum() / max(target.sum(), 1)
+        tr.logger.info(
+            f"Val result: mIoU {iou.mean():.4f} mAcc {acc.mean():.4f} "
+            f"allAcc {all_acc:.4f}"
+        )
+        tr.comm_info["current_metric_value"] = float(all_acc)
+        tr.comm_info["current_metric_name"] = "allAcc"
+        tr.storage.put_scalar("val/allAcc", float(all_acc))
+        del jnp
+
+
+@HOOKS.register_module()
 class CheckpointSaver(HookBase):
     """Save last/best/periodic checkpoints (reference `hooks/misc.py:146-204`)."""
 

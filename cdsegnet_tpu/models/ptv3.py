@@ -675,6 +675,10 @@ class PointTransformerV3(nn.Module):
     # rematerialize transformer blocks in the backward pass (trades ~30%
     # more FLOPs for O(depth) less activation memory; jax.checkpoint)
     remat_blocks: bool = False
+    # optional jax.checkpoint_policies name (e.g. "dots_saveable") to keep
+    # matmul outputs resident instead of recomputing them — less recompute
+    # for more activation memory; None = save nothing (full recompute)
+    remat_policy: Optional[str] = None
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -730,9 +734,14 @@ class PointTransformerV3(nn.Module):
             if (self.shuffle_orders and train and self.has_rng("shuffle"))
             else None
         )
-        BlockCls = (
-            nn.remat(Block, static_argnums=(2,)) if self.remat_blocks else Block
-        )
+        if self.remat_blocks:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            BlockCls = nn.remat(Block, static_argnums=(2,), policy=policy)
+        else:
+            BlockCls = Block
         levels, stem_nbr = self._pyramid(n_point, shuffle_key)
         deterministic = not train
 

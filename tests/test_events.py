@@ -74,3 +74,82 @@ def test_packed_argsort_fallback_warns(recwarn):
     out = st.packed_argsort(keys, key_bits=62)  # 62 + 4 > 63 -> fallback
     np.testing.assert_array_equal(np.asarray(out), np.arange(16))
     assert any("packed_argsort" in str(w.message) for w in recwarn.list)
+
+
+def test_cls_evaluator_hook(tmp_path):
+    """ClsEvaluator: accuracy meters over a stub val loader, allAcc exported
+    as the checkpoint metric."""
+    import jax
+    import numpy as np
+
+    from cdsegnet_tpu.data.collate import collate_scenes
+    from cdsegnet_tpu.engine.events import EventStorage
+    from cdsegnet_tpu.engine.hooks import ClsEvaluator
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.utils.logger import get_root_logger
+
+    model = build_model(dict(
+        type="DefaultClassifier", num_classes=3,
+        backbone=dict(type="SpUNet-v1m1", in_channels=6, num_classes=8,
+                      base_channels=8, channels=(8, 8, 16, 16, 16, 16, 8, 8),
+                      layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                      capacity_div=(1, 2, 4, 8, 8)),
+    ))
+    rng = np.random.RandomState(0)
+
+    def shape(label):
+        n = 50
+        return dict(
+            coord=rng.rand(n, 3).astype(np.float32),
+            feat=rng.rand(n, 6).astype(np.float32),
+            grid_coord=rng.randint(0, 64, (n, 3)).astype(np.int32),
+            segment=np.full(n, label, np.int64),
+            category=np.int64(label),
+        )
+
+    scenes = [shape(0), shape(1), shape(2)]
+    loader = [(collate_scenes([s], 64, 1), s) for s in scenes]
+
+    batch = loader[0][0]
+    from cdsegnet_tpu.engine.state import batch_to_point
+
+    pt = batch_to_point({k: jax.numpy.asarray(v) for k, v in batch.items()}, 7, 1)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+        dict(params=jax.random.PRNGKey(0)), pt
+    )
+
+    class StubState:
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    class StubCfg(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    class Data:
+        num_classes = 3
+
+    class Cfg:
+        data = Data()
+
+        @staticmethod
+        def get(k, d=None):
+            return {"serialization_depth": 7}.get(k, d)
+
+    class StubTrainer:
+        val_loader = loader
+        epoch = 0
+        cfg = Cfg()
+        state = StubState()
+        model_ = model
+        comm_info = {}
+        logger = get_root_logger(name="test.clseval")
+        storage = EventStorage(str(tmp_path))
+
+    StubTrainer.model = model
+    hook = ClsEvaluator()
+    hook.trainer = StubTrainer()
+    hook.after_epoch()
+    assert hook.trainer.comm_info["current_metric_name"] == "allAcc"
+    v = hook.trainer.comm_info["current_metric_value"]
+    assert 0.0 <= v <= 1.0
