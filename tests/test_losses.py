@@ -88,3 +88,61 @@ def test_focal_dice_finite(rng):
     logits, labels, valid = _golden_inputs()
     assert np.isfinite(float(focal_loss(logits, labels, valid)))
     assert np.isfinite(float(dice_loss(logits, labels, valid)))
+
+
+def test_cac_distill_parity_vs_torch():
+    """cac_distill_loss vs a direct torch port of the reference
+    `CACSegmentor.get_distill_loss` (`context_aware_classifier_v1m1_base.py
+    :151-198`), including the -1 ignore handling."""
+    import torch
+    import torch.nn.functional as F
+
+    from cdsegnet_tpu.models.losses import cac_distill_loss
+
+    rng = np.random.RandomState(3)
+    n, c = 64, 5
+    pred = rng.randn(n, c).astype(np.float32)
+    soft = rng.randn(n, c).astype(np.float32)
+    target = rng.randint(0, c, n).astype(np.int64)
+    target[:7] = -1  # ignore rows
+
+    def torch_ref(pred, soft, target, smoothness=0.5, eps=0.0):
+        pred = torch.tensor(pred)
+        soft = torch.tensor(soft)
+        target = torch.tensor(target).unsqueeze(-1)
+        n, c = soft.shape
+        onehot = target.view(-1, 1)
+        ignore_mask = (onehot == -1).float()
+        sm_soft = F.softmax(soft, 1)
+        onehot = onehot * (1 - ignore_mask)
+        onehot = torch.zeros(n, c).scatter_(1, onehot.long(), 1)
+        smoothed = smoothness * sm_soft + (1 - smoothness) * onehot
+        if eps > 0:
+            smoothed = smoothed * (1 - eps) + (1 - smoothed) * eps / (c - 1)
+        loss = (-1 * F.log_softmax(pred, dim=1) * smoothed).sum(1)
+        entropy_mask = -1 * (sm_soft * torch.log(sm_soft + 1e-4)).sum(1)
+        target = target.squeeze(-1)
+        unique_classes = [y for y in target.unique().tolist() if y != -1]
+        valid_mask = (target != -1).float()
+        entropy_mask = entropy_mask * valid_mask
+        loss_list, weight_list = [], []
+        for y in unique_classes:
+            m = (target == y).float()
+            em = entropy_mask * m
+            loss_list.append((loss * em).sum() / (em.sum() + 1e-4))
+            weight_list.append(1)
+        return float(sum(loss_list) / (sum(weight_list) + 1e-4))
+
+    got = float(cac_distill_loss(
+        jnp.asarray(pred), jnp.asarray(soft), jnp.asarray(target),
+        jnp.ones(n, bool),
+    ))
+    want = torch_ref(pred, soft, target)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    # with eps label smoothing too
+    got2 = float(cac_distill_loss(
+        jnp.asarray(pred), jnp.asarray(soft), jnp.asarray(target),
+        jnp.ones(n, bool), eps=0.1,
+    ))
+    want2 = torch_ref(pred, soft, target, eps=0.1)
+    np.testing.assert_allclose(got2, want2, rtol=2e-5)
