@@ -202,3 +202,73 @@ def test_tta_tester_end_to_end(tmp_path):
     miou2 = tester2.test()
     assert 0.0 <= miou2 <= 1.0
     assert 1 <= tester2._ddim_trace_count <= len(cfg2.test_buckets)
+
+
+@pytest.mark.slow
+def test_tester_dict_output_model(tmp_path):
+    """SemSegTester drives a dict-output (non-CNF) wrapper — the CAC
+    segmentor — through the generic forward branch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cdsegnet_tpu.engine.state import TrainState
+    from cdsegnet_tpu.engine.test import SemSegTester
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.models.structure import make_point_batch
+    from test_model import RNGS
+
+    root = str(tmp_path / "data")
+    _write_synthetic_dataset(root, n_scenes=2, n_points=300)
+    model_cfg = dict(
+        type="CAC-v1m1", num_classes=5, backbone_out_channels=8,
+        backbone=dict(type="SpUNet-v1m1", in_channels=6, num_classes=0,
+                      base_channels=8, channels=(8, 8, 16, 16, 16, 16, 8, 8),
+                      layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                      capacity_div=(1, 2, 4, 8, 8)),
+    )
+    cfg = Config(Config._wrap(dict(
+        save_path=str(tmp_path / "exp"), seed=0, serialization_depth=7,
+        test_buckets=[256, 512], ignore_index=-1, model=model_cfg,
+        data=dict(
+            num_classes=5, ignore_index=-1,
+            names=[f"c{i}" for i in range(5)],
+            test=dict(
+                type="ScanNetDataset", split="val", data_root=root,
+                transform=[dict(type="CenterShift", apply_z=True),
+                           dict(type="NormalizeColor")],
+                test_mode=True,
+                test_cfg=dict(
+                    voxelize=dict(type="GridSample", grid_size=0.1,
+                                  hash_type="fnv", mode="test",
+                                  keys=("coord", "color", "normal"),
+                                  return_grid_coord=True),
+                    crop=None,
+                    post_transform=[
+                        dict(type="CenterShift", apply_z=False),
+                        dict(type="Collect",
+                             keys=("coord", "grid_coord", "index"),
+                             feat_keys=("color", "normal")),
+                    ],
+                    aug_transform=[
+                        [dict(type="RandomRotateTargetAngle", angle=[0],
+                              axis="z", center=[0, 0, 0], p=1)],
+                    ],
+                ),
+            ),
+        ),
+    )))
+    model = build_model(dict(model_cfg))
+    n = 512
+    point = make_point_batch(
+        coord=jnp.zeros((n, 3)), feat=jnp.zeros((n, 6)),
+        grid_coord=jnp.zeros((n, 3), jnp.int32),
+        batch=jnp.zeros((n,), jnp.int32),
+        mask=jnp.zeros((n,), bool).at[:300].set(True),
+        segment=jnp.zeros((n,), jnp.int32), depth=7, num_scenes=1,
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, point)
+    state = TrainState.create(variables, optax.identity(), jax.random.PRNGKey(0))
+    tester = SemSegTester(cfg, state=state, model=model)
+    miou = tester.test()
+    assert miou is not None and 0.0 <= miou <= 1.0
