@@ -41,6 +41,7 @@ def collate_scenes(
     num_points: int,
     num_scenes: Optional[int] = None,
     feat_dim: Optional[int] = None,
+    extra_float_keys: Sequence[str] = (),
 ) -> Dict[str, np.ndarray]:
     """Pack scenes into one static bucket.
 
@@ -61,6 +62,10 @@ def collate_scenes(
     has_inst = any("instance" in s for s in scenes)
     instance = np.full((num_points,), -1, np.int32) if has_inst else None
     centroid = np.zeros((num_points, 3), np.float32) if has_inst else None
+    extras = {
+        k: np.zeros((num_points, scenes[0][k].shape[-1]), np.float32)
+        for k in extra_float_keys
+    }
     pos = 0
     inst_base = 0  # keep instance ids unique across scenes in the bucket
     for i, s in enumerate(scenes):
@@ -89,6 +94,8 @@ def collate_scenes(
             inst_base += int(inst.max()) + 1 if inst.size and inst.max() >= 0 else 0
             if "instance_centroid" in s:
                 centroid[sl] = s["instance_centroid"][:n]
+        for k in extra_float_keys:
+            extras[k][sl] = s[k][:n]
         batch[sl] = i
         mask[sl] = True
         pos += n
@@ -99,6 +106,47 @@ def collate_scenes(
     if has_inst:
         out["instance"] = instance
         out["instance_centroid"] = centroid
+    out.update(extras)
+    return out
+
+
+def collate_pair_scenes(
+    scenes: List[Dict],
+    num_points: int,
+    num_scenes: Optional[int] = None,
+    feat_keys: Sequence[str] = ("color", "normal"),
+) -> Dict[str, np.ndarray]:
+    """Pack two augmented views per scene (``view1_*``/``view2_*`` from
+    `ContrastiveViewsGenerator`) into two aligned static buckets for
+    MaskedSceneContrast pretraining. The un-augmented ``origin_coord`` and
+    the reconstruction targets (``feat_keys``) ride along, packed
+    identically to their view's points."""
+    out: Dict[str, np.ndarray] = {}
+    for v in (1, 2):
+        pref = f"view{v}_"
+        sub = []
+        for s in scenes:
+            d = dict(
+                coord=s[pref + "coord"],
+                grid_coord=s[pref + "grid_coord"],
+                feat=np.concatenate(
+                    [np.asarray(s[pref + k], np.float32) for k in feat_keys],
+                    axis=1,
+                ),
+                origin_coord=np.asarray(
+                    s.get(pref + "origin_coord", s[pref + "coord"]), np.float32
+                ),
+            )
+            for k in feat_keys:
+                d["target_" + k] = np.asarray(s[pref + k], np.float32)
+            sub.append(d)
+        b = collate_scenes(
+            sub, num_points, num_scenes,
+            extra_float_keys=("origin_coord",)
+            + tuple("target_" + k for k in feat_keys),
+        )
+        b.pop("segment")
+        out.update({pref + k: arr for k, arr in b.items()})
     return out
 
 

@@ -36,6 +36,7 @@ class TrainLoader:
         feat_dim: Optional[int] = None,
         drop_last: bool = True,
         prefetch: int = 2,
+        pair_feat_keys: Optional[Sequence[str]] = None,
     ):
         self.dataset = dataset
         self.num_devices = num_devices
@@ -46,6 +47,9 @@ class TrainLoader:
         self.feat_dim = feat_dim
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # two-view contrastive collation (MSC pretraining); Mix3D is
+        # meaningless across views and is skipped
+        self.pair_feat_keys = pair_feat_keys
         self.scenes_per_batch = num_devices * scenes_per_device
 
     def __len__(self) -> int:
@@ -68,8 +72,24 @@ class TrainLoader:
                 d * self.scenes_per_device: (d + 1) * self.scenes_per_device
             ]
             scenes = [self.dataset.get(int(i), rng) for i in scene_ids]
-            scenes = mix3d(scenes, rng, self.mix_prob)
+            if self.pair_feat_keys is None:
+                scenes = mix3d(scenes, rng, self.mix_prob)
             per_device.append(scenes)
+        if self.pair_feat_keys is not None:
+            from cdsegnet_tpu.data.collate import collate_pair_scenes
+
+            buckets = [
+                collate_pair_scenes(
+                    s, self.num_points, self.scenes_per_device,
+                    self.pair_feat_keys,
+                )
+                for s in per_device
+            ]
+            import numpy as _np
+
+            return {
+                k: _np.stack([b[k] for b in buckets]) for k in buckets[0]
+            }
         return collate_sharded(
             per_device, self.num_points, self.scenes_per_device, self.feat_dim
         )

@@ -156,6 +156,87 @@ def make_train_step(
     return jax.jit(smapped)
 
 
+def make_msc_train_step(
+    model,
+    criteria: Criteria,
+    tx: optax.GradientTransformation,
+    depth: int,
+    num_scenes: int,
+    mesh: Optional[Mesh] = None,
+    feat_keys=("color", "normal"),
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Two-view contrastive train step for MaskedSceneContrast.
+
+    The batch carries ``view{1,2}_{coord,grid_coord,feat,batch,mask,
+    origin_coord,target_*}`` buckets from `collate_pair_scenes`; the model
+    returns an in-model ``loss`` (Criteria passes it through)."""
+
+    def view_point(batch, pref):
+        sub = {
+            k[len(pref):]: v for k, v in batch.items() if k.startswith(pref)
+        }
+        return batch_to_point(sub, depth, num_scenes), sub
+
+    def local_step(state: TrainState, batch, dev_idx):
+        p1, s1 = view_point(batch, "view1_")
+        p2, s2 = view_point(batch, "view2_")
+        t1 = {k: s1["target_" + k] for k in feat_keys}
+        t2 = {k: s2["target_" + k] for k in feat_keys}
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.fold_in(step_rng, dev_idx)
+        k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
+        rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                p1, p2, s1["origin_coord"], s2["origin_coord"], t1, t2,
+                train=True, rngs=rngs, mutable=["batch_stats"],
+            )
+            return criteria(out, mode="train"), (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss_avg = jax.lax.pmean(loss, DATA_AXIS)
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        else:
+            loss_avg = loss
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss=loss_avg, valid_points=jnp.sum(p1.mask))
+        for k in ("nce_loss", "pos_sim", "neg_sim"):
+            if k in out:
+                metrics[k] = (
+                    jax.lax.pmean(out[k], DATA_AXIS)
+                    if mesh is not None else out[k]
+                )
+        return state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state,
+        ), metrics
+
+    if mesh is None:
+        @jax.jit
+        def step_fn(state, batch):
+            return local_step(state, batch, jnp.int32(0))
+
+        return step_fn
+
+    def sharded(state, batch):
+        dev = jax.lax.axis_index(DATA_AXIS)
+        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return local_step(state, local_batch, dev)
+
+    smapped = _shard_map(
+        sharded, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(smapped)
+
+
 def make_eval_step(model, criteria: Optional[Criteria], depth: int,
                    num_scenes: int, model_kwargs: Optional[Dict] = None):
     """Jitted SSI inference step returning logits (+ optional eval loss).

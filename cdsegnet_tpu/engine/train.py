@@ -91,9 +91,7 @@ class Trainer:
             params=rng, dropout=rng, shuffle=rng, diffusion=rng
         )
         self.logger.info("Initializing model parameters (jitted)...")
-        variables = jax.jit(
-            lambda r, p: self.model.init(r, p, train=False)
-        )(init_rngs, init_batch)
+        variables = self._init_variables(init_rngs, init_batch)
         n_params = sum(
             np.prod(l.shape) for l in jax.tree_util.tree_leaves(variables["params"])
         )
@@ -141,6 +139,11 @@ class Trainer:
             mix_prob=cfg.get("mix_prob", 0.0),
             seed=cfg.get("seed", 0),
         )
+
+    def _init_variables(self, init_rngs, init_batch):
+        return jax.jit(
+            lambda r, p: self.model.init(r, p, train=False)
+        )(init_rngs, init_batch)
 
     def _dummy_batch(self, num_points, depth, num_scenes):
         feat_dim = self.cfg.get("feat_dim", 6)
@@ -193,7 +196,53 @@ class Trainer:
         del depth, num_scenes
 
 
-@TRAINERS.register_module("MultiDatasetTrainer")
+@TRAINERS.register_module("MSCTrainer")
+class MSCTrainer(Trainer):
+    """Self-supervised MaskedSceneContrast pretraining (reference recipe
+    `configs/scannet/pretrain-msc-v1m1-*`): the train loader collates two
+    augmented views per scene (`ContrastiveViewsGenerator` ->
+    `collate_pair_scenes`) and the step drives the in-model InfoNCE +
+    reconstruction loss. No evaluator (pretraining has no val split)."""
+
+    def build_train_loader(self, num_devices: int, bucket: int):
+        cfg = self.cfg
+        train_ds_cfg = dict(cfg.data.train)
+        train_ds_cfg.setdefault("loop", 1)
+        self.train_ds = build_dataset(train_ds_cfg)
+        return TrainLoader(
+            self.train_ds,
+            num_devices=num_devices if self.mesh is not None else 1,
+            scenes_per_device=cfg.get("scenes_per_device", 2),
+            num_points=bucket,
+            seed=cfg.get("seed", 0),
+            pair_feat_keys=tuple(cfg.get("pair_feat_keys",
+                                         ("color", "normal"))),
+        )
+
+    def _init_variables(self, init_rngs, init_batch):
+        # MSC init needs the two-view calling convention
+        import jax.numpy as jnp
+
+        n = init_batch.num_points
+        origin = init_batch.coord
+        feat_keys = tuple(self.cfg.get("pair_feat_keys", ("color", "normal")))
+        targets = {k: jnp.zeros((n, 3), jnp.float32) for k in feat_keys}
+        return jax.jit(
+            lambda r, p: self.model.init(
+                r, p, p, origin, origin, targets, targets, train=False
+            )
+        )(init_rngs, init_batch)
+
+    def __init__(self, cfg):
+        from cdsegnet_tpu.engine.state import make_msc_train_step
+
+        super().__init__(cfg)
+        depth = cfg.get("serialization_depth", 16)
+        num_scenes = cfg.get("scenes_per_device", 2)
+        self.train_step = make_msc_train_step(
+            self.model, self.criteria, self.tx, depth, num_scenes, self.mesh,
+            feat_keys=tuple(cfg.get("pair_feat_keys", ("color", "normal"))),
+        )
 class MultiDatasetTrainer(Trainer):
     """Round-robin multi-dataset training (reference `train.py:355-372` +
     `datasets/dataloader.py:23-112`, used for PPT joint training).
