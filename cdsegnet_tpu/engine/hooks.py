@@ -288,6 +288,7 @@ class ClsEvaluator(HookBase):
 
     def __init__(self, interval: int = 1):
         self.interval = interval
+        self._jit_fns = {}  # per-bucket, cached across epochs
 
     def after_epoch(self):
         tr = self.trainer
@@ -299,22 +300,21 @@ class ClsEvaluator(HookBase):
         target = np.zeros(num_classes)
         variables = {"params": tr.state.params,
                      "batch_stats": tr.state.batch_stats}
-        import jax.numpy as jnp
-
         model = tr.model
         depth = tr.cfg.get("serialization_depth", 16)
-        jit_fns = {}
         from cdsegnet_tpu.engine.state import batch_to_point
 
         for batch, scene in tr.val_loader:
             n = batch["coord"].shape[0]
-            if n not in jit_fns:
-                jit_fns[n] = jax.jit(
+            if n not in self._jit_fns:
+                self._jit_fns[n] = jax.jit(
                     lambda v, b: model.apply(
                         v, batch_to_point(b, depth, 1), train=False
                     )["cls_pred"]
                 )
-            pred = int(np.asarray(jit_fns[n](variables, batch)).argmax(-1)[0])
+            pred = int(
+                np.asarray(self._jit_fns[n](variables, batch)).argmax(-1)[0]
+            )
             label = int(np.asarray(scene.get("category", scene["segment"][0])))
             if 0 <= label < num_classes:
                 target[label] += 1
@@ -333,7 +333,6 @@ class ClsEvaluator(HookBase):
         tr.comm_info["current_metric_value"] = float(all_acc)
         tr.comm_info["current_metric_name"] = "allAcc"
         tr.storage.put_scalar("val/allAcc", float(all_acc))
-        del jnp
 
 
 @HOOKS.register_module()

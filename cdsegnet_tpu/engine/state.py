@@ -73,6 +73,72 @@ def batch_to_point(batch: Dict[str, jnp.ndarray], depth: int, num_scenes: int) -
     )
 
 
+def _build_grad_step(apply_loss, tx, mesh):
+    """Shared grad/update/shard pipeline for every train-step flavor.
+
+    ``apply_loss(state, batch, rngs)`` returns a closure-ready
+    ``(loss_fn(params) -> (loss, (out, new_stats)), extra_metrics_fn(out))``
+    pair; everything else — per-(step, device) rng folding, value_and_grad,
+    gradient/metric pmean over ICI, the optax update, and the shard_map
+    wiring — lives here once.
+    """
+
+    def local_step(state: TrainState, batch, dev_idx):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.fold_in(step_rng, dev_idx)
+        k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
+        rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
+
+        loss_fn, extra_metrics = apply_loss(state, batch, rngs)
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss_avg = jax.lax.pmean(loss, DATA_AXIS)
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        else:
+            loss_avg = loss
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss=loss_avg)
+        for k, v in extra_metrics(out).items():
+            metrics[k] = (
+                jax.lax.pmean(v, DATA_AXIS)
+                if (mesh is not None and jnp.issubdtype(
+                    jnp.asarray(v).dtype, jnp.floating))
+                else v
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        @jax.jit
+        def step_fn(state, batch):
+            return local_step(state, batch, jnp.int32(0))
+
+        return step_fn
+
+    def sharded(state, batch):
+        dev = jax.lax.axis_index(DATA_AXIS)
+        # strip the leading device axis inside the shard
+        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return local_step(state, local_batch, dev)
+
+    smapped = _shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(smapped)
+
+
 def make_train_step(
     model,
     criteria: Criteria,
@@ -92,12 +158,8 @@ def make_train_step(
     """
     model_kwargs = model_kwargs or {}
 
-    def local_step(state: TrainState, batch: Dict[str, jnp.ndarray], dev_idx):
+    def apply_loss(state, batch, rngs):
         point = batch_to_point(batch, depth, num_scenes)
-        step_rng = jax.random.fold_in(state.rng, state.step)
-        step_rng = jax.random.fold_in(step_rng, dev_idx)
-        k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
-        rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -111,49 +173,9 @@ def make_train_step(
             loss = criteria(out, mode="train")
             return loss, (out, mutated["batch_stats"])
 
-        (loss, (out, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        if mesh is not None:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss_avg = jax.lax.pmean(loss, DATA_AXIS)
-            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
-        else:
-            loss_avg = loss
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(loss=loss_avg, valid_points=jnp.sum(point.mask))
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            batch_stats=new_stats,
-            opt_state=opt_state,
-        )
-        return new_state, metrics
+        return loss_fn, lambda out: dict(valid_points=jnp.sum(point.mask))
 
-    if mesh is None:
-        @jax.jit
-        def step_fn(state, batch):
-            return local_step(state, batch, jnp.int32(0))
-
-        return step_fn
-
-    state_spec = P()  # replicated
-    batch_spec = P(DATA_AXIS)
-
-    def sharded(state, batch):
-        dev = jax.lax.axis_index(DATA_AXIS)
-        # strip the leading device axis inside the shard
-        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-        return local_step(state, local_batch, dev)
-
-    smapped = _shard_map(
-        sharded,
-        mesh=mesh,
-        in_specs=(state_spec, batch_spec),
-        out_specs=(state_spec, P()),
-    )
-    return jax.jit(smapped)
+    return _build_grad_step(apply_loss, tx, mesh)
 
 
 def make_msc_train_step(
@@ -177,15 +199,11 @@ def make_msc_train_step(
         }
         return batch_to_point(sub, depth, num_scenes), sub
 
-    def local_step(state: TrainState, batch, dev_idx):
+    def apply_loss(state, batch, rngs):
         p1, s1 = view_point(batch, "view1_")
         p2, s2 = view_point(batch, "view2_")
         t1 = {k: s1["target_" + k] for k in feat_keys}
         t2 = {k: s2["target_" + k] for k in feat_keys}
-        step_rng = jax.random.fold_in(state.rng, state.step)
-        step_rng = jax.random.fold_in(step_rng, dev_idx)
-        k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
-        rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -195,46 +213,16 @@ def make_msc_train_step(
             )
             return criteria(out, mode="train"), (out, mutated["batch_stats"])
 
-        (loss, (out, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        if mesh is not None:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss_avg = jax.lax.pmean(loss, DATA_AXIS)
-            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
-        else:
-            loss_avg = loss
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(loss=loss_avg, valid_points=jnp.sum(p1.mask))
-        for k in ("nce_loss", "pos_sim", "neg_sim"):
-            if k in out:
-                metrics[k] = (
-                    jax.lax.pmean(out[k], DATA_AXIS)
-                    if mesh is not None else out[k]
-                )
-        return state.replace(
-            step=state.step + 1, params=params, batch_stats=new_stats,
-            opt_state=opt_state,
-        ), metrics
+        def extra_metrics(out):
+            m = dict(valid_points=jnp.sum(p1.mask))
+            for k in ("nce_loss", "pos_sim", "neg_sim"):
+                if k in out:
+                    m[k] = out[k]
+            return m
 
-    if mesh is None:
-        @jax.jit
-        def step_fn(state, batch):
-            return local_step(state, batch, jnp.int32(0))
+        return loss_fn, extra_metrics
 
-        return step_fn
-
-    def sharded(state, batch):
-        dev = jax.lax.axis_index(DATA_AXIS)
-        local_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
-        return local_step(state, local_batch, dev)
-
-    smapped = _shard_map(
-        sharded, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-    )
-    return jax.jit(smapped)
+    return _build_grad_step(apply_loss, tx, mesh)
 
 
 def make_eval_step(model, criteria: Optional[Criteria], depth: int,

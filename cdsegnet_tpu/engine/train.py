@@ -69,8 +69,13 @@ class Trainer:
         self.total_steps = self.steps_per_epoch * self.max_epoch
 
         self.val_loader = None
+        self._val_condition = None
         if "val" in cfg.data:
-            val_ds = build_dataset(dict(cfg.data.val))
+            val_cfg = dict(cfg.data.val)
+            # PPT: the val dataset may name its condition; resolved against
+            # the model's conditions tuple for the eval step below
+            self._val_condition = val_cfg.pop("condition", None)
+            val_ds = build_dataset(val_cfg)
             self.val_loader = EvalLoader(
                 val_ds, num_points=cfg.get("val_num_points", 1 << 19)
             )
@@ -118,7 +123,13 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.criteria, tx, depth, num_scenes, self.mesh
         )
-        self.eval_step = make_eval_step(self.model, self.criteria, depth, 1)
+        eval_kwargs = {}
+        conds = tuple(cfg.model.get("conditions", ()) or ())
+        if conds and self._val_condition in conds:
+            eval_kwargs["condition"] = conds.index(self._val_condition)
+        self.eval_step = make_eval_step(
+            self.model, self.criteria, depth, 1, model_kwargs=eval_kwargs
+        )
 
         # ---- hooks ----
         self.hooks = build_hooks(cfg.get("hooks", DEFAULT_HOOKS))
@@ -243,6 +254,9 @@ class MSCTrainer(Trainer):
             self.model, self.criteria, self.tx, depth, num_scenes, self.mesh,
             feat_keys=tuple(cfg.get("pair_feat_keys", ("color", "normal"))),
         )
+
+
+@TRAINERS.register_module("MultiDatasetTrainer")
 class MultiDatasetTrainer(Trainer):
     """Round-robin multi-dataset training (reference `train.py:355-372` +
     `datasets/dataloader.py:23-112`, used for PPT joint training).

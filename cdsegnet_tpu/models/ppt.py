@@ -136,24 +136,36 @@ class PointPromptTraining(nn.Module):
             if self.dm:
                 key = self.make_rng("diffusion")
                 k_t, k_n = jax.random.split(key)
-                ts_scene = jax.random.randint(
-                    k_t, (point.num_scenes,), 0, self.T, dtype=jnp.int32
-                )
-                ts = jnp.take(
-                    ts_scene, jnp.clip(point.batch, 0, point.num_scenes - 1)
-                )
                 noise = jax.random.normal(k_n, c_x0.shape, jnp.float32)
-                feat_t = self.schedule.q_sample(c_x0, ts, noise)
-                if self.dm_target == "noise":
-                    c_target = noise
+                if train:
+                    ts_scene = jax.random.randint(
+                        k_t, (point.num_scenes,), 0, self.T, dtype=jnp.int32
+                    )
+                    ts = jnp.take(
+                        ts_scene,
+                        jnp.clip(point.batch, 0, point.num_scenes - 1),
+                    )
+                    feat_t = self.schedule.q_sample(c_x0, ts, noise)
+                    if self.dm_target == "noise":
+                        c_target = noise
+                    if self.dm_min_snr is not None:
+                        out["snr_loss_weight"] = (
+                            jnp.asarray(self.schedule.snr)[ts]
+                        )
+                else:
+                    # SSI: feed N(0,1) at t = T-1 when dm_input="xt", the
+                    # clean signal otherwise (reference `inference`,
+                    # `point_prompt_training_v1m1_...py:428-432`)
+                    ts_scene = jnp.full(
+                        (point.num_scenes,), self.T - 1, jnp.int32
+                    )
+                    feat_t = noise if self.dm_input == "xt" else c_x0
                 if self.t_dim != -1:
                     emb = calc_t_emb(ts_scene, self.t_dim)
                     t_emb = jnp.take(
                         emb, jnp.clip(point.batch, 0, point.num_scenes - 1),
                         axis=0,
                     )
-                if self.dm_min_snr is not None:
-                    out["snr_loss_weight"] = jnp.asarray(self.schedule.snr)[ts]
             c_point = point.replace(feat=feat_t)
             c_out, n_out = self.backbone(
                 point, c_point, t_emb=t_emb, train=train

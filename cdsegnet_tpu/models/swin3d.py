@@ -224,9 +224,11 @@ class Swin3DUNet(nn.Module):
     window_sizes: Tuple[int, ...] = (5, 7, 7, 7, 7)
     quant_size: int = 4
     drop_path_rate: float = 0.2
-    num_layers: int = 5
     stem_transformer: bool = True
-    patch_size: int = 48
+    # power-of-two so the framework's default bucket sizes (multiples of
+    # 1024) divide evenly; the reference's W=5..7 cubic windows average a
+    # similar occupancy
+    patch_size: int = 64
     capacity_div: Tuple[int, ...] = (1, 2, 4, 16, 64)
     cRSE: str = "XYZ_RGB"
     # feat column slices carrying the cRSE signals (ScanNet layout:
@@ -236,8 +238,8 @@ class Swin3DUNet(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
 
-    def _signals(self, point: PointBatch, lvl_point: PointBatch,
-                 level_idx: int, feat_sig) -> jnp.ndarray:
+    def _signals(self, lvl_point: PointBatch, level_idx: int,
+                 feat_sig) -> jnp.ndarray:
         """Per-level cRSE signal array: voxel-unit position (incl. the
         sub-voxel fraction, reference `local_xyz`), then color/normal."""
         cols = []
@@ -258,7 +260,7 @@ class Swin3DUNet(nn.Module):
             pyr.round_up(max(n0 // dv, self.patch_size), self.patch_size)
             for dv in self.capacity_div[1:nl]
         ]
-        levels, stem_nbr = pyr.build_pyramid(
+        levels, _ = pyr.build_pyramid(
             point, strides=(2,) * (nl - 1), capacities=caps,
             orders=("z", "z-trans"), shuffle_key=None, stem_kernel=3,
         )
@@ -296,7 +298,7 @@ class Swin3DUNet(nn.Module):
         skips = []
         for li in range(nl):
             lvl = levels[li]
-            sigs = self._signals(point, lvl.point, li, sig_levels[li])
+            sigs = self._signals(lvl.point, li, sig_levels[li])
             base = sum(self.depths[:li])
             for b in range(self.depths[li]):
                 f = SwinBlock(
