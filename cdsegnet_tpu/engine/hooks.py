@@ -43,6 +43,10 @@ class HookBase:
 
 
 def build_hooks(cfgs) -> list:
+    # profiling hooks live in their own module (they import this one);
+    # imported here so their HOOKS registrations exist before lookup
+    import cdsegnet_tpu.engine.profiling  # noqa: F401
+
     return [HOOKS.build(dict(c)) for c in (cfgs or [])]
 
 
