@@ -29,7 +29,13 @@ if (
     not os.environ.get("CDSEG_NO_COMPILE_CACHE")
     # never persist XLA:CPU AOT results: they bake in host vector features
     # and can SIGILL when loaded on a different machine (the multi-chip
-    # dryrun re-execs with JAX_PLATFORMS=cpu)
+    # dryrun re-execs with JAX_PLATFORMS=cpu). Enable only when a TPU-class
+    # platform is explicitly selected — an env check alone would still
+    # persist CPU executables on machines where CPU is the default.
+    and any(
+        t in os.environ.get("JAX_PLATFORMS", "")
+        for t in ("tpu", "axon")
+    )
     and "cpu" not in os.environ.get("JAX_PLATFORMS", "")
 ):
     _cache_dir = os.environ.get(

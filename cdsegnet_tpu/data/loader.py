@@ -157,7 +157,12 @@ class EvalLoader:
 class MultiDatasetLoader:
     """Round-robin over per-dataset loaders with loop-ratio weighting
     (reference `pointcept/datasets/dataloader.py:23-112`, used for PPT joint
-    training)."""
+    training).
+
+    Reference semantics: the epoch length is governed by the MAIN (first)
+    dataset — per cycle, dataset i contributes ``ratio_i`` batches; a
+    non-main dataset that exhausts restarts (with a fresh shuffle), and the
+    epoch ends when the main dataset exhausts."""
 
     def __init__(self, loaders: Sequence[TrainLoader], ratios: Sequence[int]):
         assert len(loaders) == len(ratios)
@@ -165,19 +170,27 @@ class MultiDatasetLoader:
         self.ratios = list(ratios)
 
     def __len__(self):
-        return sum(len(l) * r for l, r in zip(self.loaders, self.ratios))
+        # reference `dataloader.py:98-103`
+        main = len(self.loaders[0])
+        r0 = self.ratios[0]
+        return main // r0 * sum(self.ratios) + main % r0
 
     def epoch(self, epoch: int):
         iters = [iter(l.epoch(epoch)) for l in self.loaders]
-        live = list(range(len(iters)))
-        while live:
-            for i in list(live):
+        restarts = [0] * len(iters)
+        while True:
+            for i in range(len(iters)):
                 for _ in range(self.ratios[i]):
                     try:
                         batch = next(iters[i])
                     except StopIteration:
-                        live.remove(i)
-                        break
+                        if i == 0:
+                            return
+                        restarts[i] += 1
+                        iters[i] = iter(self.loaders[i].epoch(
+                            (epoch + 1) * 1000 + restarts[i]
+                        ))
+                        batch = next(iters[i])
                     # host-side provenance tag (popped by Trainer.train to
                     # select the per-dataset/condition train step)
                     batch["_dataset_idx"] = i

@@ -641,7 +641,12 @@ class CropBoundary:
 
 @TRANSFORMS.register_module()
 class ClipGaussianJitter:
-    """Gaussian coordinate jitter (reference `transform.py:371-383`)."""
+    """Gaussian coordinate jitter (reference `transform.py:371-383`).
+
+    Matches the reference's *active* implementation, which despite the name
+    neither clips nor scales (mean=0/std=1 raw normal added to coords);
+    the scalar/quantile variant at `transform.py:350-366` is commented out
+    upstream and is not reproduced here."""
 
     def __init__(self, mean=0.0, std=1.0):
         self.mean = mean
@@ -740,6 +745,9 @@ class InstanceParser:
         instance = np.asarray(data["instance"]).reshape(-1).copy()
         keep = ~np.isin(segment, self.segment_ignore_index)
         instance[~keep] = self.instance_ignore_index
+        # exact reference renumbering (`transform.py:1119-1121`) including
+        # its quirk: a -1 instance on a *valid-class* point lands in
+        # `unique` and is renumbered like a real instance
         unique, inverse = np.unique(instance[keep], return_inverse=True)
         instance[keep] = inverse
         n_inst = len(unique)

@@ -281,11 +281,17 @@ class MultiDatasetTrainer(Trainer):
         # `configs/.../semseg-ppt-*.py`); resolved against the model's
         # `conditions` tuple lazily in `_select_train_step`
         self.ds_conditions = []
-        for sub in train_cfg["datasets"]:
+        # reference `dataloader.py:39-44`: sub-dataset `loop` becomes the
+        # round-robin ratio; the concat-level loop applies to the MAIN
+        # dataset, which governs epoch length
+        concat_loop = int(train_cfg.get("loop",
+                          max(cfg.epoch // self.max_epoch, 1)
+                          if "eval_epoch" in cfg else 1))
+        for k, sub in enumerate(train_cfg["datasets"]):
             sub = dict(sub)
             ratio = int(sub.pop("loop", 1))
             self.ds_conditions.append(sub.pop("condition", None))
-            sub.setdefault("loop", 1)
+            sub["loop"] = concat_loop if k == 0 else 1
             ds = build_dataset(sub)
             self.train_ds.append(ds)
             loaders.append(

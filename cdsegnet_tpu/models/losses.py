@@ -315,10 +315,14 @@ class Criteria:
                     )
                 )
             elif kind == "LovaszLoss":
+                pk = cfg.get("pred", "n_pred")
+                if pk not in out:
+                    continue
                 terms.append(
                     w
                     * lovasz_softmax_loss(
-                        out["n_pred"], out["n_target"], out["seg_valid"]
+                        out[pk], out[cfg.get("target", "n_target")],
+                        out["seg_valid"],
                     )
                 )
             elif kind == "FocalLoss":

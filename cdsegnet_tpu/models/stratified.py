@@ -82,24 +82,31 @@ class StratifiedAttention(nn.Module):
         ms_k = [ms_q]
         gc_k = [gc_q]
         p = n // k  # fine patch count
-        if coarse is not None and coarse.point.num_points % p == 0:
+        if coarse is not None:
             cp = coarse.point
             m = cp.num_points
             kc = m // p  # coarse slots aligned to each fine patch
             oc = o % cp.orders.shape[0]
             corder = cp.orders[oc]
+            # ALWAYS created so the param tree is bucket-size independent
+            # (a checkpoint must load whatever bucket the tester picks)
             kv_coarse = nn.Dense(
                 2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv_coarse"
             )(jnp.take(coarse_feat, corder, axis=0))
-            # fine patch p covers coarse sorted slots [p*kc, (p+1)*kc): the
-            # child order is derived from the parent order, so the ranges
-            # are spatially aligned (prefix property)
-            keys.append(kv_coarse.reshape(p, kc, 2, h, d))
-            bs_k.append(jnp.take(cp.batch, corder).reshape(p, kc))
-            ms_k.append(jnp.take(cp.mask, corder).reshape(p, kc))
-            gc_k.append(
-                (jnp.take(cp.grid_coord, corder, axis=0) * 2).reshape(p, kc, 3)
-            )
+            if kc > 0:
+                # fine patch p covers coarse sorted slots [p*kc, (p+1)*kc):
+                # the child order derives from the parent order, so the
+                # ranges are spatially aligned (prefix property). A
+                # non-divisible tail (m % p slots) is trimmed — invalid
+                # slots sort last, so padding drops first.
+                t = p * kc
+                keys.append(kv_coarse[:t].reshape(p, kc, 2, h, d))
+                bs_k.append(jnp.take(cp.batch, corder)[:t].reshape(p, kc))
+                ms_k.append(jnp.take(cp.mask, corder)[:t].reshape(p, kc))
+                gc_k.append(
+                    (jnp.take(cp.grid_coord, corder, axis=0) * 2)[:t]
+                    .reshape(p, kc, 3)
+                )
         kv = jnp.concatenate(keys, axis=1)  # (P, K + Kc, 2, H, D)
         bsk = jnp.concatenate(bs_k, axis=1)
         msk = jnp.concatenate(ms_k, axis=1)

@@ -172,6 +172,10 @@ def test_multidataset_loader_tags(rng):
     assert set(tags) == {0, 1}
     # ratio 2:1 round-robin starts with two batches of dataset 0
     assert tags[:3] == [0, 0, 1]
+    # reference semantics: the main dataset governs epoch length
+    # (4 main batches // ratio 2 = 2 cycles of [0,0,1])
+    assert tags == [0, 0, 1, 0, 0, 1]
+    assert len(ml) == len(tags)
 
 
 import pytest

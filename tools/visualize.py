@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", required=True, help=".pth / .npy-dir scene file")
     ap.add_argument("--pred", default=None, help="prediction .npy (class ids)")
+    ap.add_argument("--sampled-coord", default=None,
+                    help="coords .npy matching --pred when it was produced "
+                         "on a grid-sampled subset of the scene")
     ap.add_argument("--out", default="viz")
     ap.add_argument("--num-classes", type=int, default=20)
     args = ap.parse_args()
@@ -51,8 +54,15 @@ def main():
     if args.pred:
         pred = np.load(args.pred).reshape(-1)
         if pred.shape[0] != coord.shape[0]:
-            # grid-sampled predictions: lift to original resolution
-            sampled = coord[: pred.shape[0]]
+            if not args.sampled_coord:
+                raise SystemExit(
+                    f"prediction has {pred.shape[0]} points but the scene has "
+                    f"{coord.shape[0]}; grid-sampled points are a scattered "
+                    "subset, not a prefix — pass --sampled-coord <npy> with "
+                    "the sampled coordinates to 1-NN-lift the labels"
+                )
+            sampled = np.load(args.sampled_coord).reshape(-1, 3)
+            assert sampled.shape[0] == pred.shape[0]
             pred = remap_to_origin(coord, sampled, pred)
         save_segmentation(
             coord, pred, os.path.join(args.out, f"{name}_pred.ply"),
