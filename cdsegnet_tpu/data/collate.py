@@ -126,6 +126,16 @@ def collate_pair_scenes(
         pref = f"view{v}_"
         sub = []
         for s in scenes:
+            origin_coord = np.asarray(
+                s.get(pref + "origin_coord", s[pref + "coord"]), np.float32
+            )
+            if len(origin_coord) != len(s[pref + "coord"]):
+                raise ValueError(
+                    f"{pref}origin_coord has {len(origin_coord)} rows but "
+                    f"{pref}coord has {len(s[pref + 'coord'])}: the view "
+                    "pipeline subsampled coord without origin_coord (add "
+                    "origin_coord to GridSample keys)"
+                )
             d = dict(
                 coord=s[pref + "coord"],
                 grid_coord=s[pref + "grid_coord"],
@@ -133,9 +143,7 @@ def collate_pair_scenes(
                     [np.asarray(s[pref + k], np.float32) for k in feat_keys],
                     axis=1,
                 ),
-                origin_coord=np.asarray(
-                    s.get(pref + "origin_coord", s[pref + "coord"]), np.float32
-                ),
+                origin_coord=origin_coord,
             )
             for k in feat_keys:
                 d["target_" + k] = np.asarray(s[pref + k], np.float32)

@@ -675,9 +675,11 @@ class ModelNetDataset(DefaultDataset):
             if os.path.isdir(os.path.join(self.data_root, d))
         )
         label = names.index(cls_name) if cls_name in names else -1
-        return dict(
+        data = dict(
             coord=pts[:, :3].astype(np.float32),
-            normal=pts[:, 3:6].astype(np.float32) if pts.shape[1] >= 6 else None,
             segment=np.full((pts.shape[0],), label, np.int64),
             category=np.int64(label),
         )
+        if pts.shape[1] >= 6:  # omit rather than normal=None (crashes transforms)
+            data["normal"] = pts[:, 3:6].astype(np.float32)
+        return data

@@ -299,8 +299,10 @@ class ClsEvaluator(HookBase):
         if tr.val_loader is None or (tr.epoch + 1) % self.interval != 0:
             return
         num_classes = tr.cfg.data.num_classes
+        # reference `intersectionAndUnion` histogram accounting
+        # (`pointcept/utils/misc.py:38-52`): union = pred + target − inter
         inter = np.zeros(num_classes)
-        union = np.zeros(num_classes)
+        pred_hist = np.zeros(num_classes)
         target = np.zeros(num_classes)
         variables = {"params": tr.state.params,
                      "batch_stats": tr.state.batch_stats}
@@ -322,11 +324,10 @@ class ClsEvaluator(HookBase):
             label = int(np.asarray(scene.get("category", scene["segment"][0])))
             if 0 <= label < num_classes:
                 target[label] += 1
-                union[label] += 1  # |pred ∪ target| counts target's class...
+                pred_hist[pred] += 1
                 if pred == label:
                     inter[label] += 1
-                elif 0 <= pred < num_classes:
-                    union[pred] += 1  # ...plus pred's class when they differ
+        union = pred_hist + target - inter
         iou = inter / np.maximum(union, 1)
         acc = inter / np.maximum(target, 1)
         all_acc = inter.sum() / max(target.sum(), 1)

@@ -179,17 +179,24 @@ def evaluate_matches(
     return ap
 
 
+def _nanmean(x: np.ndarray, axis=None):
+    """nanmean that returns NaN for all-NaN slices without emitting
+    RuntimeWarnings (classes absent from both GT and predictions)."""
+    count = np.sum(~np.isnan(x), axis=axis)
+    total = np.nansum(x, axis=axis)
+    return np.where(count > 0, total / np.maximum(count, 1), np.nan)
+
+
 def summarize_ap(ap: np.ndarray, overlaps: np.ndarray = OVERLAPS) -> Dict:
     o50 = np.isclose(overlaps, 0.5)
     o25 = np.isclose(overlaps, 0.25)
     main = ~o25
-    with np.errstate(invalid="ignore"):
-        return dict(
-            all_ap=float(np.nanmean(ap[:, main])),
-            all_ap_50=float(np.nanmean(ap[:, o50])),
-            all_ap_25=float(np.nanmean(ap[:, o25])),
-            per_class_ap=np.nanmean(ap[:, main], axis=1),
-        )
+    return dict(
+        all_ap=float(_nanmean(ap[:, main])),
+        all_ap_50=float(_nanmean(ap[:, o50])),
+        all_ap_25=float(_nanmean(ap[:, o25])),
+        per_class_ap=_nanmean(ap[:, main], axis=1),
+    )
 
 
 def proposals_from_clusters(

@@ -74,7 +74,7 @@ class SemSegTester:
         model_kwargs = dict(self.cfg.get("model_kwargs", {}) or {})
 
         @jax.jit
-        def fn(variables, batch, noise):
+        def fn(variables, batch, noise, rng):
             point = batch_to_point(batch, self.depth, 1)
             if isinstance(model, CNFSegmentor):
                 return model.apply(
@@ -82,8 +82,14 @@ class SemSegTester:
                 )["seg_logits"]
             # everything else (PlainSegmentor, zoo wrappers, CAC, PPT with a
             # static `condition` via cfg.model_kwargs) evaluates through the
-            # plain forward; dict outputs expose n_pred/seg_logits
-            out = model.apply(variables, point, train=False, **model_kwargs)
+            # plain forward; rngs covers wrappers that draw
+            # make_rng("diffusion") in eval (e.g. PPT-v1m1 with dm=True) —
+            # unused rngs are harmless in flax. Dict outputs expose
+            # n_pred/seg_logits.
+            out = model.apply(
+                variables, point, train=False,
+                rngs=dict(diffusion=rng), **model_kwargs,
+            )
             if not isinstance(out, dict):
                 return out.feat
             return out.get("seg_logits", out["n_pred"])
@@ -111,7 +117,9 @@ class SemSegTester:
         c_in = getattr(self.model, "c_in_channels", batch["feat"].shape[-1])
         noise = jax.random.normal(rng, (bucket, c_in), jnp.float32)
         if self.inference_mode == "SSI":
-            logits = self._infer_fn(bucket)(self._variables(), batch, noise)
+            logits = self._infer_fn(bucket)(
+                self._variables(), batch, noise, rng
+            )
         else:  # MSAI / MSFI via DDIM loop
             from cdsegnet_tpu.models.segmentor import inference_ddim
 

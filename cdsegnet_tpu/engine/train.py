@@ -125,7 +125,12 @@ class Trainer:
         )
         eval_kwargs = {}
         conds = tuple(cfg.model.get("conditions", ()) or ())
-        if conds and self._val_condition in conds:
+        if conds and self._val_condition is not None:
+            if self._val_condition not in conds:
+                raise ValueError(
+                    f"val condition {self._val_condition!r} not in model "
+                    f"conditions {conds}"
+                )
             eval_kwargs["condition"] = conds.index(self._val_condition)
         self.eval_step = make_eval_step(
             self.model, self.criteria, depth, 1, model_kwargs=eval_kwargs
@@ -315,7 +320,15 @@ class MultiDatasetTrainer(Trainer):
         if ds_idx is None or not conditions:
             return self.train_step
         name = self.ds_conditions[ds_idx]
-        cond = conditions.index(name) if name in conditions else ds_idx
+        if name is None:
+            cond = ds_idx  # unnamed sub-dataset: positional condition
+        elif name in conditions:
+            cond = conditions.index(name)
+        else:
+            raise ValueError(
+                f"sub-dataset {ds_idx} condition {name!r} not in model "
+                f"conditions {conditions}"
+            )
         if not hasattr(self, "_cond_steps"):
             self._cond_steps = {}
         if cond not in self._cond_steps:

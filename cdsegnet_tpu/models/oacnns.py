@@ -78,7 +78,14 @@ class OmniAdaptiveBlock(nn.Module):
             s = jax.ops.segment_sum(pw, cluster, m)
             pw = pw - (s / jnp.maximum(cnt, 1.0)[:, None])[cluster] * valid
             pw = nn.Dense(c, use_bias=False, dtype=self.dtype, name=f"weight{i}")(pw)
-            pw = jnp.exp(pw - jnp.max(jnp.where(valid > 0, pw, -jnp.inf)))
+            # per-cluster max (scatter_softmax semantics): a global max would
+            # underflow every cluster whose logits sit far below it, zeroing
+            # its aggregation weights through the clamped denominator
+            cmax = jax.ops.segment_max(
+                jnp.where(valid > 0, pw, -jnp.inf), cluster, m
+            )
+            cmax = jnp.where(jnp.isfinite(cmax), cmax, 0.0)[cluster]
+            pw = jnp.exp(pw - cmax)
             pw = pw * valid
             denom = jax.ops.segment_sum(pw, cluster, m)[cluster] + 1e-6
             pw = pw / denom

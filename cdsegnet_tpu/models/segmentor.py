@@ -220,5 +220,9 @@ def inference_ddim(
         if t <= 0:
             break
     if mode == "avg":
+        # matches the reference divisor exactly (`default.py:353`):
+        # len(time_schedule) = step+1 forwards are accumulated (the t=-1
+        # slot included — reference runs the backbone there too before its
+        # `if t <= 0: break`) and averaged by the same count.
         n_pred = n_pred / float(len(sched))
     return n_pred

@@ -54,6 +54,7 @@ _view_trans = [
     dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
     dict(type="ChromaticJitter", p=0.95, std=0.05),
     dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train",
+         keys=("coord", "color", "normal", "origin_coord"),
          return_grid_coord=True),
     dict(type="SphereCrop", point_max=num_points_per_scene, mode="random"),
     dict(type="NormalizeColor"),

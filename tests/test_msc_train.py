@@ -18,6 +18,7 @@ def test_msc_pretraining_end_to_end(tmp_path):
         dict(type="RandomRotate", angle=[-1 / 32, 1 / 32], axis="z", p=0.5),
         dict(type="RandomJitter", sigma=0.002, clip=0.01),
         dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+             keys=("coord", "color", "normal", "origin_coord"),
              return_grid_coord=True),
         dict(type="NormalizeColor"),
     ]
