@@ -578,4 +578,18 @@ class DefaultClassifier(nn.Module):
         x = nn.Dense(128, name="cls_fc2")(x)
         x = nn.gelu(x, approximate=False)
         logits = nn.Dense(self.num_classes, name="cls_head")(x)
-        return dict(cls_pred=logits)
+        out: Dict[str, Any] = dict(cls_pred=logits)
+        if point.segment is not None:
+            # per-scene category from the per-point labels (ModelNet-style
+            # datasets fill `segment` with the shape label; reference trains
+            # on input_dict["category"], `default.py:3358-3360`); scenes that
+            # are pure padding get -1 and drop out of the loss
+            valid = n_out.mask
+            tgt = jax.ops.segment_max(
+                jnp.where(valid, point.segment, -1), seg_ids, num_scenes
+            )
+            out.update(
+                n_pred=logits, n_target=tgt, seg_valid=tgt >= 0,
+                cls_target=tgt,
+            )
+        return out

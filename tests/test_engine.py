@@ -38,15 +38,40 @@ def test_config_base_inheritance(tmp_path):
 
 
 def test_shipped_configs_load():
-    for f in (
-        "configs/scannet/cdsegnet.py",
-        "configs/scannet200/cdsegnet.py",
-        "configs/nuscenes/cdsegnet.py",
-    ):
+    """Every shipped recipe config loads, its model (and criteria, when
+    config-side) builds, and dataset/model class counts agree."""
+    import glob
+
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.models.losses import build_criteria
+
+    files = sorted(
+        f for f in glob.glob("configs/**/*.py", recursive=True)
+        if "/_base_/" not in f
+    )
+    assert len(files) >= 15
+    for f in files:
         cfg = Config.fromfile(f)
-        assert cfg.model.type == "DefaultSegmentorV2"
-        assert cfg.model.backbone.type == "PT-v3m1"
-        assert cfg.data.num_classes == cfg.model.num_classes
+        assert "type" in cfg.model, f
+        model = build_model(dict(cfg.model))
+        assert model is not None, f
+        if cfg.model.get("criteria"):
+            build_criteria(
+                [dict(c) for c in cfg.model.criteria],
+                loss_type=cfg.model.get("loss_type", "EW"),
+                task_num=cfg.model.get("task_num", 2),
+            )
+        if "num_classes" in cfg.model and cfg.get("data"):
+            assert cfg.data.num_classes == cfg.model.num_classes, f
+
+    # flagship spot checks
+    cfg = Config.fromfile("configs/scannet/cdsegnet.py")
+    assert cfg.model.type == "DefaultSegmentorV2"
+    assert cfg.model.backbone.type == "PT-v3m1"
+    cnf = Config.fromfile("configs/scannet/ptv3_cnf.py")
+    assert tuple(cnf.model.backbone.n_enc_depths) == (2, 2, 2, 6, 2)
+    assert cnf.model.noise_schedule == "linear"
+    assert cnf.model.beta_end == 0.0005
 
 
 @pytest.mark.slow
