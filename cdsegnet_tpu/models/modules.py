@@ -164,16 +164,21 @@ class Mlp(nn.Module):
 
 def drop_path(
     x: jnp.ndarray,
-    rate: float,
+    rate,
     rng: Optional[jax.Array],
     deterministic: bool,
 ) -> jnp.ndarray:
-    """Per-point stochastic depth (timm-style, batch dim = points)."""
-    if deterministic or rate == 0.0 or rng is None:
+    """Per-point stochastic depth (timm-style, batch dim = points).
+
+    ``rate`` may be a traced scalar (the scanned block stack feeds per-depth
+    rates as data); a static 0.0 short-circuits."""
+    if deterministic or rng is None:
         return x
-    keep = 1.0 - rate
+    if isinstance(rate, (int, float)) and float(rate) == 0.0:
+        return x
+    keep = 1.0 - jnp.asarray(rate, jnp.float32)
     mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1))
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return jnp.where(mask, x / keep.astype(x.dtype), 0.0).astype(x.dtype)
 
 
 class SubMConv(nn.Module):

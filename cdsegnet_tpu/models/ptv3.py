@@ -23,7 +23,7 @@ level ``c_level_map[s]``.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -89,7 +89,8 @@ class SerializedAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point: PointBatch, deterministic: bool = True):
+    def __call__(self, point: PointBatch, deterministic: bool = True,
+                 order_index=None):
         from cdsegnet_tpu.ops.pallas.flash_attention import attention_impl
 
         c, h = self.channels, self.num_heads
@@ -97,8 +98,11 @@ class SerializedAttention(nn.Module):
         n = point.num_points
         k = min(self.patch_size, n)
         scale = self.qk_scale or d**-0.5
-        order = point.orders[self.order_index]
-        inverse = point.inverses[self.order_index]
+        # order_index may be a traced scalar (scanned block stacks feed the
+        # per-depth curve index as data; `orders` is stacked (O, N))
+        oi = self.order_index if order_index is None else order_index
+        order = point.orders[oi]
+        inverse = point.inverses[oi]
         # gather features (width C) into serialized order BEFORE the qkv
         # projection — row-wise Dense commutes with the permutation and the
         # gather moves 3x less data than permuting the packed qkv
@@ -150,8 +154,11 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point: PointBatch, deterministic: bool = True):
+    def __call__(self, point: PointBatch, deterministic: bool = True,
+                 order_index=None, drop_path_rate=None):
         c = self.channels
+        dp = self.drop_path_rate if drop_path_rate is None else drop_path_rate
+        dp_static_zero = isinstance(dp, (int, float)) and float(dp) == 0.0
         shortcut = point.feat
         f = SubMConv(c, c, 27, use_bias=True, dtype=self.dtype, name="cpe_conv")(
             point.feat, point.neighbor_idx
@@ -180,13 +187,13 @@ class Block(nn.Module):
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
-        )(point.replace(feat=f), deterministic).feat
+        )(point.replace(feat=f), deterministic, order_index).feat
         rng = (
             self.make_rng("dropout")
-            if (not deterministic and self.drop_path_rate > 0.0)
+            if (not deterministic and not dp_static_zero)
             else None
         )
-        feat = shortcut + drop_path(f, self.drop_path_rate, rng, deterministic)
+        feat = shortcut + drop_path(f, dp, rng, deterministic)
 
         shortcut = feat
         f = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
@@ -196,11 +203,31 @@ class Block(nn.Module):
         )(f, deterministic)
         rng = (
             self.make_rng("dropout")
-            if (not deterministic and self.drop_path_rate > 0.0)
+            if (not deterministic and not dp_static_zero)
             else None
         )
-        feat = shortcut + drop_path(f, self.drop_path_rate, rng, deterministic)
+        feat = shortcut + drop_path(f, dp, rng, deterministic)
         return point.replace(feat=feat)
+
+
+class _ScannedBlock(nn.Module):
+    """`nn.scan` body: one `Block` consuming per-depth data.
+
+    Equal-width block runs (e.g. the 6-deep n-encoder stages 3-4) differ only
+    in curve index and stochastic-depth rate, so the stack compiles ONCE and
+    iterates — per-depth ``(order_index, drop_rate)`` ride in as scanned
+    inputs, parameters get a leading depth axis."""
+
+    block_kwargs: Any
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, point: PointBatch, order_index, drop_rate):
+        point = Block(**self.block_kwargs, name="block")(
+            point, self.deterministic,
+            order_index=order_index, drop_path_rate=drop_rate,
+        )
+        return point, ()
 
 
 class Embedding(nn.Module):
@@ -675,6 +702,10 @@ class PointTransformerV3(nn.Module):
     # rematerialize transformer blocks in the backward pass (trades ~30%
     # more FLOPs for O(depth) less activation memory; jax.checkpoint)
     remat_blocks: bool = False
+    # roll equal-width block runs with nn.scan: one compiled block body per
+    # stage instead of per block (cuts fresh-compile roughly with depth);
+    # parameters gain a leading depth axis per stage
+    scan_blocks: bool = True
     # optional jax.checkpoint_policies name (e.g. "dots_saveable") to keep
     # matmul outputs resident instead of recomputing them — less recompute
     # for more activation memory; None = save nothing (full recompute)
@@ -720,6 +751,42 @@ class PointTransformerV3(nn.Module):
     def _attach(self, point: PointBatch, level: pyr.Level, feat, t_emb=None):
         """Bind branch features to a pyramid level's geometry."""
         return level.point.replace(feat=feat, t_emb=t_emb)
+
+    def _run_blocks(self, name, point, depth, deterministic, dp_rates,
+                    block_cls, **bk):
+        """Run ``depth`` uniform Blocks over ``point``.
+
+        ``scan_blocks`` rolls the run with `nn.scan` (one compiled body per
+        stage instead of per block — the dominant trace/compile cost of the
+        10-stage architecture); otherwise unrolls with per-block modules.
+        ``dp_rates`` is the per-depth stochastic-depth schedule, already in
+        application order."""
+        n_orders = len(self.orders)
+        if not self.scan_blocks or depth == 1:
+            for i in range(depth):
+                point = block_cls(
+                    **bk, order_index=i % n_orders,
+                    drop_path_rate=float(dp_rates[i]), name=f"{name}{i}",
+                )(point, deterministic)
+            return point
+        body = _ScannedBlock
+        if self.remat_blocks:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            body = nn.remat(_ScannedBlock, prevent_cse=False, policy=policy)
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, 0),
+            length=depth,
+        )(block_kwargs=bk, deterministic=deterministic, name=f"{name}s")
+        oi = jnp.arange(depth, dtype=jnp.int32) % n_orders
+        dr = jnp.asarray(np.asarray(dp_rates, np.float32))
+        point, _ = stack(point, oi, dr)
+        return point
 
     @nn.compact
     def __call__(
@@ -782,21 +849,20 @@ class PointTransformerV3(nn.Module):
                     dtype=self.dtype, name=f"n_enc{s}_down",
                 )(npt.feat, levels, lo, hi, levels[hi].point.mask, train)
                 npt = self._attach(None, levels[hi], feat)
-            for i in range(self.n_enc_depths[s]):
-                dp_i = n_dp[sum(self.n_enc_depths[:s]) + i]
-                npt = BlockCls(
-                    channels=self.n_enc_channels[s],
-                    num_heads=self.n_enc_num_head[s],
-                    patch_size=self.n_enc_patch_size[s],
-                    mlp_ratio=self.mlp_ratio,
-                    order_index=i % len(self.orders),
-                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                    proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
-                    enable_rpe=self.enable_rpe,
-                    upcast_softmax=self.upcast_softmax,
-                    use_pallas=self.use_pallas, dtype=self.dtype,
-                    name=f"n_enc{s}_block{i}",
-                )(npt, deterministic)
+            d0 = sum(self.n_enc_depths[:s])
+            npt = self._run_blocks(
+                f"n_enc{s}_block", npt, self.n_enc_depths[s], deterministic,
+                n_dp[d0: d0 + self.n_enc_depths[s]], BlockCls,
+                channels=self.n_enc_channels[s],
+                num_heads=self.n_enc_num_head[s],
+                patch_size=self.n_enc_patch_size[s],
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                proj_drop=self.proj_drop,
+                enable_rpe=self.enable_rpe,
+                upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
             if s < len(self.n_enc_depths) - 1:
                 n_skips.append(npt.feat)
 
@@ -820,21 +886,21 @@ class PointTransformerV3(nn.Module):
                             te = pyr.pool_head_gather(te, levels[l])
                         t_lvl = te
                     cpt = self._attach(None, levels[hi], feat, t_emb=t_lvl)
-                for i in range(self.c_enc_depths[s]):
-                    dp_i = c_dp[sum(self.c_enc_depths[:s]) + i]
-                    cpt = BlockCls(
-                        channels=self.c_enc_channels[s],
-                        num_heads=self.c_enc_num_head[s],
-                        patch_size=self.c_enc_patch_size[s],
-                        mlp_ratio=self.mlp_ratio,
-                        order_index=i % len(self.orders),
-                        qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                        proj_drop=self.proj_drop, drop_path_rate=float(dp_i),
-                        t_dim=self.t_dim, enable_rpe=self.enable_rpe,
-                        upcast_softmax=self.upcast_softmax,
-                        use_pallas=self.use_pallas, dtype=self.dtype,
-                        name=f"c_enc{s}_block{i}",
-                    )(cpt, deterministic)
+                d0 = sum(self.c_enc_depths[:s])
+                cpt = self._run_blocks(
+                    f"c_enc{s}_block", cpt, self.c_enc_depths[s],
+                    deterministic, c_dp[d0: d0 + self.c_enc_depths[s]],
+                    BlockCls,
+                    channels=self.c_enc_channels[s],
+                    num_heads=self.c_enc_num_head[s],
+                    patch_size=self.c_enc_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    proj_drop=self.proj_drop,
+                    t_dim=self.t_dim, enable_rpe=self.enable_rpe,
+                    upcast_softmax=self.upcast_softmax,
+                    use_pallas=self.use_pallas, dtype=self.dtype,
+                )
                 if s < len(self.c_enc_depths) - 1:
                     c_skips.append(cpt.feat)
 
@@ -869,20 +935,19 @@ class PointTransformerV3(nn.Module):
             npt = self._attach(None, levels[lo], n_feat)
             dp_slice = n_ddp[sum(self.n_dec_depths[:s]): sum(self.n_dec_depths[: s + 1])]
             dp_slice = list(reversed(dp_slice))
-            for i in range(self.n_dec_depths[s]):
-                npt = BlockCls(
-                    channels=n_dec_ch[s],
-                    num_heads=self.n_dec_num_head[s],
-                    patch_size=self.n_dec_patch_size[s],
-                    mlp_ratio=self.mlp_ratio,
-                    order_index=i % len(self.orders),
-                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                    proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
-                    enable_rpe=self.enable_rpe,
-                    upcast_softmax=self.upcast_softmax,
-                    use_pallas=self.use_pallas, dtype=self.dtype,
-                    name=f"n_dec{s}_block{i}",
-                )(npt, deterministic)
+            npt = self._run_blocks(
+                f"n_dec{s}_block", npt, self.n_dec_depths[s], deterministic,
+                dp_slice, BlockCls,
+                channels=n_dec_ch[s],
+                num_heads=self.n_dec_num_head[s],
+                patch_size=self.n_dec_patch_size[s],
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                proj_drop=self.proj_drop,
+                enable_rpe=self.enable_rpe,
+                upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
             n_feat = npt.feat
         n_logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="n_head")(
             n_feat.astype(jnp.float32)
@@ -913,20 +978,19 @@ class PointTransformerV3(nn.Module):
             cpt = self._attach(None, levels[lo], c_feat, t_emb=c_t)
             dp_slice = c_ddp[sum(self.c_dec_depths[:s]): sum(self.c_dec_depths[: s + 1])]
             dp_slice = list(reversed(dp_slice))
-            for i in range(self.c_dec_depths[s]):
-                cpt = BlockCls(
-                    channels=c_dec_ch[s],
-                    num_heads=self.c_dec_num_head[s],
-                    patch_size=self.c_dec_patch_size[s],
-                    mlp_ratio=self.mlp_ratio,
-                    order_index=i % len(self.orders),
-                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                    proj_drop=self.proj_drop, drop_path_rate=float(dp_slice[i]),
-                    t_dim=self.t_dim, enable_rpe=self.enable_rpe,
-                    upcast_softmax=self.upcast_softmax,
-                    use_pallas=self.use_pallas, dtype=self.dtype,
-                    name=f"c_dec{s}_block{i}",
-                )(cpt, deterministic)
+            cpt = self._run_blocks(
+                f"c_dec{s}_block", cpt, self.c_dec_depths[s], deterministic,
+                dp_slice, BlockCls,
+                channels=c_dec_ch[s],
+                num_heads=self.c_dec_num_head[s],
+                patch_size=self.c_dec_patch_size[s],
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                proj_drop=self.proj_drop,
+                t_dim=self.t_dim, enable_rpe=self.enable_rpe,
+                upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
             c_feat = cpt.feat
         c_out = nn.Dense(self.c_in_channels, dtype=jnp.float32, name="c_head")(
             c_feat.astype(jnp.float32)

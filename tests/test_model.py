@@ -227,3 +227,92 @@ def test_ddim_msai_inference(model_and_vars):
         model, variables, pt, jax.random.PRNGKey(11), step=2, mode="final"
     )
     assert np.isfinite(np.asarray(final)).all()
+
+
+def test_scan_blocks_equivalence(rng):
+    """Scanned block stacks (nn.scan, params with a leading depth axis)
+    compute exactly what the unrolled per-block modules compute: init the
+    unrolled model, restack its per-block params into the scanned layout,
+    and compare eval outputs bit-for-bit."""
+    import re
+
+    from helpers import synthetic_batch
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    bb = dict(TINY_BACKBONE,
+              n_enc_depths=(2, 1, 1, 2, 2), c_enc_depths=(2, 1, 2),
+              n_dec_depths=(1, 1, 2, 1), c_dec_depths=(2, 1),
+              shuffle_orders=False)
+    model_u = build_model(dict(TINY_MODEL, backbone=dict(bb, scan_blocks=False)))
+    model_s = build_model(dict(TINY_MODEL, backbone=dict(bb, scan_blocks=True)))
+    vu = jax.jit(lambda r, p: model_u.init(r, p, train=False))(RNGS, pt)
+    vs = jax.jit(lambda r, p: model_s.init(r, p, train=False))(RNGS, pt)
+
+    # restack unrolled params: backbone/<stage>_block{i}/... -> stacked
+    # backbone/<stage>_blocks/block/...
+    bu = dict(vu["params"]["backbone"])
+    groups = {}
+    for k in sorted(bu):
+        m = re.fullmatch(r"(.+_block)(\d+)", k)
+        if m and int(m.group(2)) > 0 or (m and (m.group(1) + "1") in bu):
+            groups.setdefault(m.group(1), []).append(k)
+    restacked = dict(bu)
+    for prefix, keys in groups.items():
+        keys.sort(key=lambda k: int(k[len(prefix):]))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[restacked.pop(k) for k in keys]
+        )
+        restacked[prefix + "s"] = {"block": stacked}
+    params_s = dict(vs["params"])
+    params_s["backbone"] = restacked
+    # structures must agree after restacking
+    jax.tree_util.tree_structure(params_s) == jax.tree_util.tree_structure(
+        dict(vs["params"])
+    )
+    variables = {"params": params_s, "batch_stats": vu["batch_stats"]}
+
+    noise = jax.random.normal(jax.random.PRNGKey(7), (256, 6), jnp.float32)
+    out_u = jax.jit(
+        lambda v, p: model_u.apply(
+            v, p, noise, method=CNFSegmentor.inference,
+        )["seg_logits"]
+    )({"params": vu["params"], "batch_stats": vu["batch_stats"]}, pt)
+    out_s = jax.jit(
+        lambda v, p: model_s.apply(
+            v, p, noise, method=CNFSegmentor.inference,
+        )["seg_logits"]
+    )(variables, pt)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_blocks_train_grads(rng):
+    """Scanned stacks train: finite loss/grads with drop-path active and
+    gradient signal in every stacked depth slice."""
+    from helpers import synthetic_batch
+
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    bb = dict(TINY_BACKBONE, n_enc_depths=(2, 1, 1, 2, 2),
+              c_enc_depths=(2, 1, 2), drop_path=0.2)
+    model = build_model(dict(TINY_MODEL, backbone=bb))
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)
+    criteria = Criteria(
+        [dict(type="MSELoss"), dict(type="CrossEntropyLoss"),
+         dict(type="LovaszLoss")], loss_type="GLS",
+    )
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pt, train=True, rngs=RNGS, mutable=["batch_stats"],
+        )
+        return criteria(out, mode="train")
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    g = grads["backbone"]["n_enc0_blocks"]["block"]["attn"]["qkv"]["kernel"]
+    assert g.shape[0] == 2  # leading depth axis
+    per_depth = np.abs(np.asarray(g)).sum(axis=tuple(range(1, g.ndim)))
+    assert (per_depth > 0).all()
