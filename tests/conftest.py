@@ -1,11 +1,12 @@
 """Test configuration.
 
 The container's sitecustomize registers the axon TPU PJRT plugin at
-interpreter start, locking the *default* backend before conftest runs. We
-don't fight it: tests run on whatever the default backend is, and tests that
-need a multi-device mesh use the CPU backend explicitly — `XLA_FLAGS` is set
-here *before* the CPU client is first initialized, so `jax.devices("cpu")`
-yields 8 virtual devices in any environment.
+interpreter start and overrides ``JAX_PLATFORMS``, but it cannot lock the
+platform *list* before any backend initializes — so we pin
+``jax_platforms=cpu`` here (same trick as ``dryrun_multichip``). Tests run
+entirely on the host CPU backend: no contention with TPU benchmarks on the
+single relay chip, no per-dispatch relay round-trips, and `XLA_FLAGS` set
+before the CPU client first initializes gives every test 8 virtual devices.
 """
 
 import os
@@ -22,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+try:
+    from jax._src import xla_bridge
+
+    if not xla_bridge.backends_are_initialized():
+        jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - introspection API moved
+    pass
 
 # This JAX build truncates f32 matmuls under default precision; pin true-f32
 # math so tests can compare against numpy references. Production keeps the
