@@ -182,6 +182,97 @@ def build_pooled_level(
     )
 
 
+def build_metric_level(
+    parent: Level,
+    grid_size: float,
+    capacity: int,
+) -> Level:
+    """Derive a coarse level by *metric* voxel clustering (reference PTv2
+    `GridPool`, `point_transformer_v2m2_base.py:229-269`): voxelize
+    ``coord - per-scene-min`` at ``grid_size`` (a continuous size, not a
+    power-of-two of the base grid), cluster equal voxels, mean coords.
+
+    Unlike `build_pooled_level` this does not rely on the serialization
+    prefix property (arbitrary strides break it) — one argsort per level,
+    like the reference's `torch.unique`. The resulting level carries no
+    codes/orders/neighbor tables: it serves kNN-based models (PTv2/PTv1)
+    whose blocks only need coords + masks.
+    """
+    pp = parent.point
+    mp, m = pp.num_points, capacity
+    s = pp.num_scenes
+    batch_c = jnp.minimum(pp.batch, s).astype(jnp.int32)
+    big = jnp.float32(1e9)
+    cmin = jax.ops.segment_min(
+        jnp.where(pp.mask[:, None], pp.coord, big), batch_c, s + 1
+    )
+    rel = pp.coord - jnp.take(cmin, batch_c, axis=0)
+    vox = jnp.floor(rel / jnp.float32(grid_size)).astype(jnp.int64)
+    vox = jnp.clip(vox, 0, (1 << 20) - 1)
+    key = (
+        (batch_c.astype(jnp.int64) << jnp.int64(60))
+        | (vox[:, 0] << jnp.int64(40))
+        | (vox[:, 1] << jnp.int64(20))
+        | vox[:, 2]
+    )
+    key = jnp.where(pp.mask, key, jnp.iinfo(jnp.int64).max)
+    sort0 = jnp.argsort(key).astype(jnp.int32)
+    seg = seg_ops.sorted_segment_ids(jnp.take(key, sort0))
+    seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
+    mask_sorted = jnp.take(pp.mask, sort0)
+    valid = mask_sorted & (seg < m - 1)
+
+    first_pos = seg_ops.segment_first_position(seg_c, m)
+    head_parent = jnp.take(sort0, first_pos)
+    new_mask = seg_ops.segment_any(valid, seg_c, m)
+    batch = jnp.where(
+        new_mask, jnp.take(pp.batch, head_parent), jnp.int32(s)
+    )
+    coord = seg_ops.segment_reduce(
+        jnp.take(pp.coord, sort0, axis=0), seg_c, m, reduce="mean", valid=valid
+    )
+    grid = jnp.where(
+        new_mask[:, None],
+        jnp.take(vox, head_parent, axis=0).astype(jnp.int32),
+        0,
+    )
+    parent_inverse = jnp.zeros((mp,), jnp.int32).at[sort0].set(seg_c)
+
+    child = PointBatch(
+        coord=coord,
+        grid_coord=grid,
+        feat=jnp.zeros((m, 1), jnp.float32),
+        mask=new_mask,
+        batch=batch,
+        segment=None,
+        depth=pp.depth,
+        num_scenes=s,
+    )
+    return Level(
+        point=child,
+        pool_sort=sort0,
+        pool_seg=seg_c,
+        pool_valid=valid,
+        parent_inverse=parent_inverse,
+        parent_head=head_parent,
+    )
+
+
+def build_metric_pyramid(
+    point: PointBatch,
+    grid_sizes: Sequence[float],
+    capacities: Sequence[int],
+) -> Sequence[Level]:
+    """Metric-grid pyramid for kNN-based models: level 0 is the raw batch
+    (no serialization/neighbor tables), deeper levels cluster at the given
+    metric grid sizes (reference PTv2 `grid_sizes=(0.06, 0.12, 0.24, 0.48)`,
+    `point_transformer_v2m2_base.py:465`)."""
+    levels = [Level(point=point)]
+    for gs, cap in zip(grid_sizes, capacities):
+        levels.append(build_metric_level(levels[-1], gs, cap))
+    return levels
+
+
 def build_pyramid(
     point: PointBatch,
     strides: Sequence[int],
@@ -198,9 +289,13 @@ def build_pyramid(
     )
     lvl0 = build_level0(point, orders, keys[0])
     if stem_kernel == 5:
-        from cdsegnet_tpu.models.structure import compose_k5_table
+        from cdsegnet_tpu.models.structure import build_k5_shell_table
 
-        stem_nbr = compose_k5_table(lvl0.point.neighbor_idx)
+        stem_nbr = build_k5_shell_table(
+            point.grid_coord, point.batch, point.mask,
+            lvl0.point.neighbor_idx, depth=point.depth,
+            num_scenes=point.num_scenes,
+        )
     else:
         stem_nbr = build_neighbor_table(
             point.grid_coord, point.batch, point.mask, depth=point.depth,

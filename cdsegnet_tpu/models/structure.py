@@ -312,6 +312,98 @@ def build_neighbor_table(
     return neighbor.astype(jnp.int32)
 
 
+def _k5_static_maps():
+    """Static index maps between the 125 k5 offsets and the 27 k3 offsets.
+
+    Returns ``(k3_map, shell_half)``: ``k3_map[j]`` is the k3 index of k5
+    offset j when its Chebyshev radius is <=1 (else -1), and ``shell_half``
+    lists the first-half (j < 62) k5 offsets on the radius-2 shell — the 49
+    offsets that need a fresh lookup (their mirrors come from one scatter).
+    """
+    import numpy as np
+
+    offs5 = np.array(
+        [
+            (x, y, z)
+            for x in range(-2, 3) for y in range(-2, 3) for z in range(-2, 3)
+        ]
+    )
+    idx3 = {
+        (x, y, z): ((x + 1) * 3 + (y + 1)) * 3 + (z + 1)
+        for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)
+    }
+    k3_map = np.array(
+        [idx3.get(tuple(o), -1) if np.abs(o).max() <= 1 else -1 for o in offs5],
+        np.int32,
+    )
+    shell_half = np.array(
+        [j for j in range(62) if np.abs(offs5[j]).max() == 2], np.int32
+    )
+    assert len(shell_half) == 49
+    return k3_map, shell_half
+
+
+_K5_MAPS = None
+
+
+@partial(jax.jit, static_argnames=("depth", "num_scenes"))
+def build_k5_shell_table(
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    mask: jnp.ndarray,
+    n3: jnp.ndarray,
+    depth: int,
+    num_scenes: int = 1,
+) -> jnp.ndarray:
+    """Exact 5x5x5 submanifold neighbor table from the k3 table + a lookup
+    over only the radius-2 shell.
+
+    The 27 radius-<=1 columns are already exact in ``n3``; the 98 shell
+    offsets halve by mirror symmetry to 49 lookup queries (~49N sorted
+    words vs 62N for a from-scratch k5 build). This replaces the former
+    2-hop closure (`compose_k5_table`), which missed ~45% of true shell
+    neighbors on ScanNet-like surfaces (see tools/fidelity_ablations.py) —
+    the reference's spconv stem is exact
+    (`point_transformer_v3m1_base.py:646-663`).
+    """
+    global _K5_MAPS
+    if _K5_MAPS is None:
+        _K5_MAPS = _k5_static_maps()
+    k3_map, shell_half = _K5_MAPS
+    n = grid_coord.shape[0]
+    offs5 = kernel_offsets(5)
+    key_bits = 3 * depth + max((num_scenes + 1).bit_length(), 1)
+    keys = ser.encode(grid_coord, batch, depth=depth, order="z")
+    keys = jnp.where(mask, keys, (jnp.int64(1) << key_bits) - 1)
+
+    offs_s = offs5[jnp.asarray(shell_half)]  # (49, 3)
+    h = offs_s.shape[0]
+    q_coord = grid_coord[:, None, :] + offs_s[None, :, :]
+    in_range = jnp.all((q_coord >= 0) & (q_coord < (1 << depth)), axis=-1)
+    q_keys = ser.encode(
+        q_coord.reshape(-1, 3), jnp.repeat(batch, h), depth=depth, order="z"
+    )
+    nbr_s = exact_match_lookup(
+        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n
+    ).reshape(n, h)
+    nbr_s = jnp.where(in_range & mask[:, None], nbr_s, n)
+
+    arange = jnp.arange(n, dtype=jnp.int32)
+    out = jnp.full((n + 1, 125), n, jnp.int32)
+    # radius-<=1 columns straight from the k3 table (both halves + center)
+    k3_cols = [j for j in range(125) if k3_map[j] >= 0]
+    out = out.at[:n, jnp.asarray(k3_cols)].set(
+        n3[:, jnp.asarray(k3_map[k3_cols])]
+    )
+    # queried shell half
+    out = out.at[:n, jnp.asarray(shell_half)].set(nbr_s)
+    # mirror scatter: nbr_s[i, t] = m  =>  out[m, 124 - shell_half[t]] = i
+    out = out.at[nbr_s, 124 - jnp.asarray(shell_half)[None, :]].set(
+        jnp.broadcast_to(arange[:, None], (n, h))
+    )
+    return out[:n].astype(jnp.int32)
+
+
 def _k5_decompositions():
     """For every k5 offset d, all (a, b) k3-offset pairs with a + b = d.
 
