@@ -134,10 +134,22 @@ class PointTransformerV2(nn.Module):
     dec_groups: Tuple[int, ...] = (6, 12, 24, 48)
     k_neighbors: int = 16
     capacity_div: Tuple[int, ...] = (1, 2, 8, 32, 128)
+    # metric GridPool sizes (reference `point_transformer_v2m2_base.py:465`);
+    # None falls back to the power-of-two serialization pyramid
+    grid_sizes: Optional[Tuple[float, ...]] = (0.06, 0.12, 0.24, 0.48)
     weight_encoding: str = "linear"
     num_conditions: int = 0
     pdnorm_adaptive: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _norm_act(self, f, c, mask, train, condition, context, name):
+        from cdsegnet_tpu.models.spunet import apply_norm, make_norm
+
+        pd = dict(num_conditions=self.num_conditions,
+                  adaptive=self.pdnorm_adaptive, dtype=self.dtype)
+        f = apply_norm(make_norm(c, name, **pd), f, mask, train,
+                       condition, context)
+        return nn.relu(f)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False,
@@ -152,10 +164,15 @@ class PointTransformerV2(nn.Module):
             pyr.round_up(max(n0 // d, 8), 8)
             for d in self.capacity_div[1:num_stages + 1]
         ]
-        levels, _ = pyr.build_pyramid(
-            point, strides=(2,) * num_stages, capacities=caps,
-            orders=("z",), shuffle_key=None, stem_kernel=3,
-        )
+        if self.grid_sizes is not None:
+            levels = pyr.build_metric_pyramid(
+                point, self.grid_sizes[:num_stages], caps
+            )
+        else:
+            levels, _ = pyr.build_pyramid(
+                point, strides=(2,) * num_stages, capacities=caps,
+                orders=("z",), shuffle_key=None, stem_kernel=3,
+            )
         feat = nn.Dense(self.patch_embed_channels, dtype=self.dtype,
                         name="patch_embed")(point.feat)
         feat = BlockV2(self.patch_embed_channels, self.patch_embed_groups,
@@ -165,8 +182,11 @@ class PointTransformerV2(nn.Module):
         skips = [feat]
         for s in range(num_stages):
             lvl = levels[s + 1]
-            f = nn.Dense(self.enc_channels[s], dtype=self.dtype,
-                         name=f"down{s}")(skips[-1])
+            # GridPool: fc -> norm -> relu -> segment max (reference `:247`)
+            f = nn.Dense(self.enc_channels[s], use_bias=False,
+                         dtype=self.dtype, name=f"down{s}")(skips[-1])
+            f = self._norm_act(f, self.enc_channels[s], levels[s].point.mask,
+                               train, condition, context, f"down{s}_bn")
             f = pyr.pool_features(f, lvl, reduce="max")
             for i in range(self.enc_depths[s]):
                 f = BlockV2(self.enc_channels[s], self.enc_groups[s],
@@ -178,11 +198,18 @@ class PointTransformerV2(nn.Module):
         f = skips[-1]
         for s in reversed(range(num_stages)):
             lvl = levels[s + 1]
+            # UnpoolWithSkip, map backend: proj -> norm -> relu -> broadcast,
+            # plus proj_skip -> norm -> relu (reference `:294-313`)
             f = nn.Dense(self.dec_channels[s], dtype=self.dtype,
                          name=f"up{s}")(f)
+            f = self._norm_act(f, self.dec_channels[s], lvl.point.mask,
+                               train, condition, context, f"up{s}_bn")
             f = pyr.unpool_features(f, lvl)
             skip = nn.Dense(self.dec_channels[s], dtype=self.dtype,
                             name=f"skip{s}")(skips[s])
+            skip = self._norm_act(skip, self.dec_channels[s],
+                                  levels[s].point.mask, train, condition,
+                                  context, f"skip{s}_bn")
             f = f + skip
             lo = levels[s]
             for i in range(self.dec_depths[s]):
