@@ -30,6 +30,54 @@ from cdsegnet_tpu.models.segmentor import CNFSegmentor
 BASELINE_PTS_PER_SEC_PER_CHIP = 266_000.0
 
 
+def check_pallas_parity():
+    """On-chip Pallas-vs-XLA agreement, fwd and grad (counterpart of the
+    reference's op-level comparison scripts,
+    `libs/pointops2/functions/test_attention_op_step1.py:1-50`).
+
+    The interpret-mode tests prove kernel *semantics*; this runs the real
+    Mosaic-compiled kernel on the bench chip so a silent on-TPU miscompile
+    fails the bench loudly. Returns {fwd_err, grad_err} (max abs, f32)."""
+    from cdsegnet_tpu.ops.attention import patch_attention
+    from cdsegnet_tpu.ops.pallas.flash_attention import flash_patch_attention
+
+    n, h, d, patch = 2048, 4, 32, 512
+    rng = np.random.RandomState(0)
+    q, k, v = (
+        jnp.asarray(rng.randn(n, h, d), jnp.float32) for _ in range(3)
+    )
+    n_real = int(n * 0.9)
+    batch = jnp.asarray(
+        np.where(np.arange(n) < n_real, np.arange(n) * 2 // n, 2), jnp.int32
+    )
+    mask = jnp.asarray(np.arange(n) < n_real)
+    cot = jnp.asarray(rng.randn(n, h, d), jnp.float32)
+    scale = d ** -0.5
+    valid = np.asarray(mask)[:, None, None]
+
+    def run(fn):
+        def loss(q, k, v):
+            out = fn(q, k, v, batch, mask, patch, scale)
+            return jnp.sum(jnp.where(mask[:, None, None], out * cot, 0.0))
+
+        out = fn(q, k, v, batch, mask, patch, scale)
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+        return np.asarray(out), [np.asarray(g) for g in grads]
+
+    out_p, g_p = run(flash_patch_attention)
+    out_x, g_x = run(patch_attention)
+    fwd_err = float(np.abs((out_p - out_x) * valid).max())
+    grad_err = max(
+        float(np.abs((a - b) * valid).max()) for a, b in zip(g_p, g_x)
+    )
+    if fwd_err > 5e-4 or grad_err > 5e-3:
+        raise RuntimeError(
+            f"Pallas/XLA attention divergence on chip: fwd={fwd_err:.2e} "
+            f"grad={grad_err:.2e}"
+        )
+    return dict(pallas_fwd_err=fwd_err, pallas_grad_err=grad_err)
+
+
 def main():
     import os
 
@@ -39,6 +87,13 @@ def main():
     attn = os.environ.get("CDSEG_ATTENTION")  # "pallas" | "xla" | unset=auto
     if attn:
         cfg["backbone"]["use_pallas"] = attn == "pallas"
+    scan = os.environ.get("CDSEG_SCAN")  # "0" unrolls block stacks
+    if scan is not None:
+        cfg["backbone"]["scan_blocks"] = scan != "0"
+    parity = {}
+    if jax.default_backend() != "cpu" and not os.environ.get("BENCH_SKIP_PARITY"):
+        parity = check_pallas_parity()
+
     model = build_model(cfg)
     point = _synthetic_point_batch(num_points, 1, depth=10, seed=0)
     n_real = int(np.asarray(point.mask).sum())
@@ -87,6 +142,7 @@ def main():
         init_s=round(init_s, 1),
         compile_s=round(compile_s, 1),
         device=str(jax.devices()[0]),
+        **parity,
     )
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
@@ -96,6 +152,29 @@ def main():
             train_step_ms=round(train_ms, 2),
             train_compile_s=round(train_compile_s, 1),
         )
+
+    if not os.environ.get("BENCH_SKIP_RECIPE"):
+        # the shipped recipe bucket: 2 x SphereCrop-102,400 points/chip
+        # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU)
+        recipe_points = 204800
+        try:
+            r_pps, r_ms, r_compile = bench_train(
+                cfg, recipe_points, remat=False, iters=3
+            )
+            r_remat = False
+        except Exception as e:  # HBM OOM at this scale -> remat retry
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            r_pps, r_ms, r_compile = bench_train(
+                cfg, recipe_points, remat=True, iters=3
+            )
+            r_remat = True
+        extra.update({
+            "train_points_per_sec_per_chip@204800": round(r_pps, 1),
+            "train_step_ms@204800": round(r_ms, 2),
+            "train_compile_s@204800": round(r_compile, 1),
+            "train_remat@204800": r_remat,
+        })
 
     print(
         json.dumps(
@@ -110,8 +189,8 @@ def main():
     )
 
 
-def bench_train(cfg, num_points):
-    """Full training step (fwd + bwd + AdamW, remat on, 2 scenes/bucket)."""
+def bench_train(cfg, num_points, remat=None, iters=5):
+    """Full training step (fwd + bwd + AdamW, 2 scenes/bucket)."""
     import optax  # noqa: F401
 
     from cdsegnet_tpu.engine.optimizer import build_optimizer
@@ -124,7 +203,8 @@ def bench_train(cfg, num_points):
     # remat OFF by default: the 104k-point bucket's activations fit v5e HBM
     # and the full-recompute remat costs ~17% train throughput (61.2k ->
     # 71.8k points/s/chip measured); set CDSEG_REMAT=1 for larger buckets
-    remat = os.environ.get("CDSEG_REMAT", "0") != "0"
+    if remat is None:
+        remat = os.environ.get("CDSEG_REMAT", "0") != "0"
     cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat)
     rp = os.environ.get("CDSEG_REMAT_POLICY")  # e.g. "dots_saveable"
     if rp:
@@ -156,7 +236,6 @@ def bench_train(cfg, num_points):
     state, metrics = step_fn(state, batch)
     _ = float(metrics["loss"])
     compile_s = time.time() - t0
-    iters = 5
     t0 = time.time()
     for _ in range(iters):
         state, metrics = step_fn(state, batch)

@@ -21,6 +21,22 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# This image's sitecustomize registers the axon TPU plugin at interpreter
+# start and overrides JAX_PLATFORMS, so `JAX_PLATFORMS=cpu python ...` still
+# lands on the TPU. CDSEG_PLATFORM pins the platform *list* before any
+# backend initializes (same trick as tests/conftest.py), which the
+# sitecustomize cannot lock. Example: CDSEG_PLATFORM=cpu for host-only runs
+# of tools/train.py / tools/test.py.
+_platform = os.environ.get("CDSEG_PLATFORM")
+if _platform:
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            jax.config.update("jax_platforms", _platform)
+    except Exception:  # pragma: no cover - introspection API moved
+        pass
+
 # Persistent compilation cache: the flagship forward graph is large (~60
 # serialized-attention blocks) and cold compiles are minutes on the remote
 # toolchain; cache compiled executables across processes. Opt out with

@@ -9,9 +9,11 @@ softmax -> weighted sum entirely on-chip per (patch, head) grid cell; the
 K x K attention matrix never touches HBM (the XLA fallback materializes
 P*H*K*K scores — hundreds of MB per layer at full resolution).
 
-Forward-only kernel with a custom VJP whose backward recomputes scores via
-the XLA einsum path (correct, HBM-bound); a fused Pallas backward is the
-next optimization step.
+Custom VJP with a fused Pallas backward that recomputes the masked softmax
+in VMEM and emits dq/dk/dv in one pass. Matmul precision mirrors the XLA
+path: near-f32 (hand-rolled bf16 hi/lo split, see `_dot`/`_split_for`) for
+f32 inputs, fast bf16 MXU passes for bf16 —
+`bench.check_pallas_parity` asserts on-chip agreement every bench run.
 """
 
 from __future__ import annotations
@@ -29,14 +31,24 @@ from cdsegnet_tpu.ops.attention import patch_attention
 NEG = -1e30
 
 
-def _attn_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
+def _dot(a, b, dims, split):
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32
+    )
+    if not split:
+        return d(a, b)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b - b_hi) + d(a - a_hi, b_hi)
+
+
+def _attn_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
+                 split=False):
     q = q_ref[0, 0].astype(jnp.float32)  # (K, D)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q * jnp.float32(scale), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    s = _dot(
+        q * jnp.float32(scale), k, (((1,), (1,)), ((), ())), split
     )  # (K, K)
     b = b_ref[0, 0]  # (K,) int32 scene ids
     valid = m_ref[0, 0]  # (K,) int32 0/1
@@ -48,10 +60,8 @@ def _attn_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, o_ref, *, scale):
         jnp.sum(e, axis=-1, keepdims=True), jnp.float32(1e-20)
     )
     p = (e / den).astype(v.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    o_ref[0, 0] = _dot(
+        p, v, (((1,), (0,)), ((), ())), split
     ).astype(o_ref.dtype)
 
 
@@ -81,10 +91,23 @@ def _flash_fwd(q, k, v, batch_sorted, valid_sorted, patch_size, scale, interpret
                      bp, mp, qp, kp, vp, v.dtype, n)
 
 
+def _split_for(dtype):
+    # match the XLA path's policy (`ops/attention._precision`): near-f32
+    # matmuls for f32 inputs, fast bf16 MXU passes otherwise. Without this,
+    # f32 callers silently get bf16-truncated scores (measured 3.7e-3 max
+    # abs divergence on chip at K=512). `precision=HIGHEST` inside a Pallas
+    # dot HANGS this image's Mosaic compile, so the multi-pass form is
+    # hand-rolled in `_dot` (3 DEFAULT-precision passes over a bf16
+    # hi/lo split — ~2^-16 relative product error, f32 accumulation).
+    return dtype == jnp.float32
+
+
 def _call(grid, bblk, blk, p, h, kk, d, scale, interpret, bp, mp, qp, kp, vp,
           out_dtype, n):
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(
+            _attn_kernel, scale=scale, split=_split_for(out_dtype)
+        ),
         grid=grid,
         in_specs=[bblk, bblk, blk(), blk(), blk()],
         out_specs=blk(),
@@ -121,18 +144,14 @@ def _fwd(q, k, v, batch_sorted, valid_sorted, patch_size, scale,
 
 
 def _attn_bwd_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale):
+                     dq_ref, dk_ref, dv_ref, *, scale, split=False):
     """Fused backward: recompute masked softmax in VMEM, emit dq/dk/dv."""
     f32 = jnp.float32
     q = q_ref[0, 0].astype(f32)
     k = k_ref[0, 0].astype(f32)
     v = v_ref[0, 0].astype(f32)
     g = g_ref[0, 0].astype(f32)
-    s = jax.lax.dot_general(
-        q * jnp.float32(scale), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )
+    s = _dot(q * jnp.float32(scale), k, (((1,), (1,)), ((), ())), split)
     b = b_ref[0, 0]
     valid = m_ref[0, 0]
     allowed = (b[:, None] == b[None, :]) & (valid[None, :] > 0)
@@ -142,30 +161,18 @@ def _attn_bwd_kernel(b_ref, m_ref, q_ref, k_ref, v_ref, g_ref,
     den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), jnp.float32(1e-20))
     p = e / den  # (K, K)
     # dV = P^T g
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
+    dv_ref[0, 0] = _dot(
+        p, g, (((0,), (0,)), ((), ())), split
     ).astype(dv_ref.dtype)
     # dP = g V^T ; ds = P * (dP - rowsum(dP * P))
-    dp = jax.lax.dot_general(
-        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )
+    dp = _dot(g, v, (((1,), (1,)), ((), ())), split)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     # dQ = ds K * scale ; dK = ds^T Q * scale
     dq_ref[0, 0] = (
-        jax.lax.dot_general(
-            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        * jnp.float32(scale)
+        _dot(ds, k, (((1,), (0,)), ((), ())), split) * jnp.float32(scale)
     ).astype(dq_ref.dtype)
     dk_ref[0, 0] = (
-        jax.lax.dot_general(
-            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        * jnp.float32(scale)
+        _dot(ds, q, (((0,), (0,)), ((), ())), split) * jnp.float32(scale)
     ).astype(dk_ref.dtype)
 
 
@@ -186,7 +193,9 @@ def _bwd(patch_size, scale, upcast_softmax, interpret, res, g):
     )
     with jax.enable_x64(False):
         dq, dk, dv = pl.pallas_call(
-            functools.partial(_attn_bwd_kernel, scale=scale),
+            functools.partial(
+                _attn_bwd_kernel, scale=scale, split=_split_for(q.dtype),
+            ),
             grid=(p, h),
             in_specs=[bblk, bblk, blk(), blk(), blk(), blk()],
             out_specs=(blk(), blk(), blk()),

@@ -19,6 +19,7 @@ import cdsegnet_tpu  # noqa: F401
 from __graft_entry__ import _synthetic_point_batch
 from cdsegnet_tpu.models import pyramid as pyr
 from cdsegnet_tpu.models.structure import (
+    build_k5_shell_table,
     build_neighbor_table,
     compose_k5_table,
     serialize,
@@ -72,7 +73,14 @@ def main():
     n3 = timed("k3 neighbor table (level0)", nbr_j, pt)
 
     k5_j = jax.jit(compose_k5_table)
-    timed("k5 stem compose", k5_j, n3)
+    timed("k5 stem compose (2-hop, old)", k5_j, n3)
+
+    k5s_j = jax.jit(
+        lambda p, t: build_k5_shell_table(
+            p.grid_coord, p.batch, p.mask, t, depth=10, num_scenes=1
+        )
+    )
+    timed("k5 shell table (exact, live)", k5s_j, pt, n3)
 
     pyramid_j = jax.jit(
         lambda p: pyr.build_pyramid(
@@ -89,6 +97,27 @@ def main():
         lambda l: pyr.build_pooled_level(l, 2, caps[0], ORDERS, None)
     )
     timed("pooled level 1 (cap %dk)" % (caps[0] // 1000), pool_j, lvl0)
+
+    # full SSI forward (same protocol as bench.py) for the geometry/model
+    # split: model compute = full step − "full pyramid" above
+    from __graft_entry__ import _flagship_cfg
+    from cdsegnet_tpu.models.builder import build_model
+    from cdsegnet_tpu.models.segmentor import CNFSegmentor
+
+    cfg = _flagship_cfg(n, patch, scale=1)
+    model = build_model(cfg)
+    rngs = dict(
+        params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+        shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (n, 6))
+    ssi_j = jax.jit(
+        lambda v, p, z: model.apply(
+            v, p, z, method=CNFSegmentor.inference
+        )["seg_logits"]
+    )
+    timed("full SSI forward", ssi_j, variables, point, noise)
 
 
 if __name__ == "__main__":
