@@ -6,10 +6,12 @@ several voxel-grid cluster scales with learned softmax weights, mixes the
 scales with a per-point adaptive gate, and runs a submanifold conv pair.
 
 TPU mapping:
-- `voxel_grid` clustering -> serialization-code right-shifts on the shared
-  pyramid (cluster ids derive from the sorted z-codes; grid sizes are
-  rounded to powers of two so no extra sort is ever needed — conscious
-  deviation from the reference's [.., 24]/[.., 12]/[.., 6] sizes);
+- `voxel_grid` clustering over the level's integer voxel indices
+  (`oacnns_v1m1_base.py:158-165` clusters `x.indices[:, 1:]` at sizes like
+  [16, 32, 64] voxels) -> power-of-two sizes reuse the serialization-code
+  right-shift on the shared pyramid (no sort), and the reference's
+  non-power-of-two sizes (24/12/6) are matched EXACTLY by a
+  `grid_coord // size` key + one packed argsort per (stage, scale);
 - `torch_geometric.scatter` -> jax segment ops with static capacity;
 - strided SparseConv3d / SparseInverseConv3d -> cluster pool / parent
   broadcast like SpUNet.
@@ -30,17 +32,40 @@ from cdsegnet_tpu.models.structure import PointBatch
 from cdsegnet_tpu.ops import segments as seg_ops
 
 
-def grid_clusters(level: pyr.Level, shift: int) -> jnp.ndarray:
-    """Per-point dense cluster ids for a 2**shift voxel grid at this level
-    (invalid points -> the overflow slot M-1)."""
+def grid_clusters(level: pyr.Level, size: int) -> jnp.ndarray:
+    """Per-point dense cluster ids for a ``size``-voxel grid at this level
+    (invalid points -> the overflow slot M-1).
+
+    Matches the reference's `voxel_grid(pos=x.indices[:, 1:], size=...)`
+    + `torch.unique` (`oacnns_v1m1_base.py:158-165`). Power-of-two sizes
+    derive from the already-sorted serialization codes (zero extra sorts);
+    other sizes (the reference's 24/12/6) cluster `grid_coord // size`
+    with one packed argsort."""
     pp = level.point
     m = pp.num_points
-    sort0 = pp.orders[0]
-    keys_sorted = (pp.codes[0] >> (3 * shift))[sort0]
+    if size & (size - 1) == 0:  # power of two: reuse the z-code sort
+        shift = size.bit_length() - 1
+        sort0 = pp.orders[0]
+        keys_sorted = (pp.codes[0] >> (3 * shift))[sort0]
+        seg = jnp.minimum(
+            seg_ops.sorted_segment_ids(keys_sorted), m - 1
+        ).astype(jnp.int32)
+        return jnp.zeros((m,), jnp.int32).at[sort0].set(seg)
+    from cdsegnet_tpu.models.structure import packed_argsort
+
+    d = pp.depth  # grid_coord < 2**d per axis, so vox // size fits d bits
+    vox = (pp.grid_coord.astype(jnp.int64) // size)
+    key = (
+        (pp.batch.astype(jnp.int64) << (3 * d))
+        | (vox[:, 0] << (2 * d)) | (vox[:, 1] << d) | vox[:, 2]
+    )
+    key_bits = 3 * d + max((pp.num_scenes + 1).bit_length(), 1)
+    key = jnp.where(pp.mask, key, (jnp.int64(1) << key_bits) - 1)
+    order = packed_argsort(key, key_bits)
     seg = jnp.minimum(
-        seg_ops.sorted_segment_ids(keys_sorted), m - 1
+        seg_ops.sorted_segment_ids(jnp.take(key, order)), m - 1
     ).astype(jnp.int32)
-    return jnp.zeros((m,), jnp.int32).at[sort0].set(seg)
+    return jnp.zeros((m,), jnp.int32).at[order].set(seg)
 
 
 class _LinearBNReLU(nn.Module):
@@ -133,9 +158,10 @@ class OACNNs(nn.Module):
     enc_channels: Tuple[int, ...] = (64, 64, 128, 256)
     enc_depth: Tuple[int, ...] = (2, 3, 6, 4)
     dec_channels: Tuple[int, ...] = (96, 96, 128, 256)
-    # power-of-two exponents per stage (reference sizes rounded up)
-    point_grid_shift: Tuple[Tuple[int, ...], ...] = (
-        (4, 5, 6), (3, 4, 5), (2, 3, 4), (1, 2, 3),
+    # cluster-grid sizes per stage in the level's voxel units — the
+    # reference's exact values (`oacnns_v1m1_base.py:227`)
+    point_grid_size: Tuple[Tuple[int, ...], ...] = (
+        (16, 32, 64), (8, 16, 24), (4, 8, 12), (2, 4, 6),
     )
     orders: Tuple[str, ...] = ("z",)
     capacity_div: Tuple[int, ...] = (1, 2, 4, 16, 64)
@@ -179,7 +205,7 @@ class OACNNs(nn.Module):
                 f, lvl.point.mask, use_running_average=not train
             )
             f = nn.relu(f)
-            clusters = [grid_clusters(lvl, sh) for sh in self.point_grid_shift[s]]
+            clusters = [grid_clusters(lvl, gs) for gs in self.point_grid_size[s]]
             for i in range(self.enc_depth[s]):
                 f = OmniAdaptiveBlock(
                     self.enc_channels[s], len(clusters), dtype=self.dtype,

@@ -15,7 +15,7 @@ model = dict(
         enc_channels=(64, 64, 128, 256),
         enc_depth=(3, 3, 9, 8),
         dec_channels=(96, 96, 128, 256),
-        point_grid_shift=((4, 5, 6), (3, 4, 5), (2, 3, 4), (1, 2, 3)),
+        point_grid_size=((16, 32, 64), (8, 16, 24), (4, 8, 12), (2, 4, 6)),
         capacity_div=(1, 2, 4, 16, 64),
         dtype="bfloat16",
     ),

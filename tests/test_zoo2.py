@@ -55,7 +55,7 @@ def test_oacnns(rng):
         dict(type="OACNNs", in_channels=6, num_classes=5, embed_channels=8,
              enc_channels=(8, 8, 16, 16), enc_depth=(1, 1, 1, 1),
              dec_channels=(8, 8, 16, 16),
-             point_grid_shift=((2, 3), (2, 3), (1, 2), (1, 2)),
+             point_grid_size=((4, 6), (4, 6), (2, 3), (2, 3)),
              capacity_div=(1, 2, 4, 8, 8)),
         pt,
     )
