@@ -143,7 +143,8 @@ def build_model(cfg: Dict[str, Any]):
 
 # model-zoo families register themselves against MODELS on import
 import cdsegnet_tpu.models.spunet  # noqa: E402,F401  (registers SpUNet/MinkUNet)
-import cdsegnet_tpu.models.ptv2  # noqa: E402,F401  (registers PT-v1, PT-v2m2)
+import cdsegnet_tpu.models.ptv1  # noqa: E402,F401  (registers PT-v1, Seg26/38/50)
+import cdsegnet_tpu.models.ptv2  # noqa: E402,F401  (registers PT-v2m1/m2/m3)
 import cdsegnet_tpu.models.pointgroup  # noqa: E402,F401  (registers PointGroup)
 import cdsegnet_tpu.models.spvcnn  # noqa: E402,F401  (registers SPVCNN)
 import cdsegnet_tpu.models.oacnns  # noqa: E402,F401  (registers OACNNs)

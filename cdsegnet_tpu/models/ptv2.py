@@ -7,13 +7,14 @@ TPU-native counterparts of the reference zoo families
 `cdsegnet_tpu/ops/pointops.py` (chunked MXU distance tiles + top_k) and the
 grid pooling reuses the shared geometry pyramid.
 
-- `VectorAttention` (PTv1): subtraction relation + position MLP, per-channel
-  softmax weights (reference `point_transformer_seg.py`).
-- `GroupedVectorAttention` (PTv2): channel groups share attention weights,
-  with positional encoding added to both relation and values (reference
+- `GroupedVectorAttention`: channel groups share attention weights, with
+  positional encoding added to both relation and values (reference
   `point_transformer_v2m2_base.py`).
 
-Registered: `PT-v1` and `PT-v2m2` segmentors.
+kNN indices are computed ONCE per level with scene separation (batch-id
+penalty in `ops.pointops.knn`) and shared by every block at that level —
+the reference recomputes identical indices inside each GVA layer.
+Registered: `PT-v2m1`, `PT-v2m2`, `PT-v2m3`. (PTv1 lives in `ptv1.py`.)
 """
 
 from __future__ import annotations
@@ -43,13 +44,12 @@ class GroupedVectorAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool = False):
+    def __call__(self, feat, coord, mask, idx, train: bool = False):
         c, g = self.channels, self.groups
         n = feat.shape[0]
         q = nn.Dense(c, use_bias=True, dtype=self.dtype, name="linear_q")(feat)
         k = nn.Dense(c, use_bias=True, dtype=self.dtype, name="linear_k")(feat)
         v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="linear_v")(feat)
-        idx, _ = knn(coord, coord, self.k_neighbors, mask, mask)
         k_n = grouping(k, idx)  # (N, K, C)
         v_n = grouping(v, idx)
         pos = grouping(coord, idx) - coord[:, None, :]  # (N, K, 3)
@@ -98,7 +98,7 @@ class BlockV2(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool = False,
+    def __call__(self, feat, coord, mask, idx, train: bool = False,
                  condition: int = 0, context=None):
         from cdsegnet_tpu.models.spunet import apply_norm, make_norm
 
@@ -108,7 +108,7 @@ class BlockV2(nn.Module):
         f = GroupedVectorAttention(
             channels=c, groups=self.groups, k_neighbors=self.k_neighbors,
             weight_encoding=self.weight_encoding, dtype=self.dtype, name="attn",
-        )(feat, coord, mask, train)
+        )(feat, coord, mask, idx, train)
         f = apply_norm(make_norm(c, "bn", **pd), f, mask, train,
                        condition, context)
         f = nn.relu(f)
@@ -173,11 +173,19 @@ class PointTransformerV2(nn.Module):
                 point, strides=(2,) * num_stages, capacities=caps,
                 orders=("z",), shuffle_key=None, stem_kernel=3,
             )
+        # one kNN table per level, scene-separated, shared by all blocks there
+        knn_idx = [
+            knn(lv.point.coord, lv.point.coord, self.k_neighbors,
+                lv.point.mask, lv.point.mask,
+                query_batch=lv.point.batch, ref_batch=lv.point.batch)[0]
+            for lv in levels[:num_stages + 1]
+        ]
         feat = nn.Dense(self.patch_embed_channels, dtype=self.dtype,
                         name="patch_embed")(point.feat)
         feat = BlockV2(self.patch_embed_channels, self.patch_embed_groups,
                        name="embed_block", **blk)(
-            feat, point.coord, point.mask, train, condition, context
+            feat, point.coord, point.mask, knn_idx[0], train,
+            condition, context
         )
         skips = [feat]
         for s in range(num_stages):
@@ -191,8 +199,8 @@ class PointTransformerV2(nn.Module):
             for i in range(self.enc_depths[s]):
                 f = BlockV2(self.enc_channels[s], self.enc_groups[s],
                             name=f"enc{s}_block{i}", **blk)(
-                    f, lvl.point.coord, lvl.point.mask, train,
-                    condition, context
+                    f, lvl.point.coord, lvl.point.mask, knn_idx[s + 1],
+                    train, condition, context
                 )
             skips.append(f)
         f = skips[-1]
@@ -215,7 +223,7 @@ class PointTransformerV2(nn.Module):
             for i in range(self.dec_depths[s]):
                 f = BlockV2(self.dec_channels[s], self.dec_groups[s],
                             name=f"dec{s}_block{i}", **blk)(
-                    f, lo.point.coord, lo.point.mask, train,
+                    f, lo.point.coord, lo.point.mask, knn_idx[s], train,
                     condition, context
                 )
         logits = nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
@@ -239,89 +247,3 @@ class PointTransformerV2M3(PointTransformerV2):
     Prompt-Driven Normalization for Point Prompt Training. Configure
     ``num_conditions``/``pdnorm_adaptive`` and pass ``condition``/``context``
     at call time."""
-
-
-class VectorAttentionV1(nn.Module):
-    """PTv1 vector attention: per-channel subtraction relation
-    (reference `point_transformer_seg.py`, pointops subtraction/aggregation
-    kernels)."""
-
-    channels: int
-    k_neighbors: int = 16
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, feat, coord, mask, train: bool = False):
-        c = self.channels
-        n = feat.shape[0]
-        q = nn.Dense(c, dtype=self.dtype, name="linear_q")(feat)
-        k = nn.Dense(c, dtype=self.dtype, name="linear_k")(feat)
-        v = nn.Dense(c, dtype=self.dtype, name="linear_v")(feat)
-        idx, _ = knn(coord, coord, self.k_neighbors, mask, mask)
-        pos = (grouping(coord, idx) - coord[:, None, :]).astype(self.dtype)
-        pe = nn.Dense(c, dtype=self.dtype, name="pe2")(
-            nn.relu(nn.Dense(3, dtype=self.dtype, name="pe1")(pos))
-        )
-        rel = q[:, None, :] - grouping(k, idx) + pe
-        w = nn.Dense(c, dtype=self.dtype, name="w2")(
-            nn.relu(nn.Dense(c, dtype=self.dtype, name="w1")(rel))
-        )
-        valid = (idx < n)[..., None]
-        w = jnp.where(valid, w.astype(jnp.float32), -1e9)
-        w = jax.nn.softmax(w, axis=1).astype(self.dtype)
-        return jnp.sum((grouping(v, idx) + pe) * w, axis=1)
-
-
-@MODELS.register_module("PT-v1")
-class PointTransformerV1(nn.Module):
-    """PTv1 segmentor (reduced UNet on the pyramid)."""
-
-    in_channels: int = 6
-    num_classes: int = 20
-    channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
-    depths: Tuple[int, ...] = (1, 2, 2, 2, 2)
-    k_neighbors: int = 16
-    capacity_div: Tuple[int, ...] = (1, 4, 16, 64, 256)
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
-        num_down = len(self.channels) - 1
-        n0 = point.num_points
-        caps = [
-            pyr.round_up(max(n0 // d, 8), 8)
-            for d in self.capacity_div[1:num_down + 1]
-        ]
-        levels, _ = pyr.build_pyramid(
-            point, strides=(2,) * num_down, capacities=caps,
-            orders=("z",), shuffle_key=None, stem_kernel=3,
-        )
-        feat = nn.Dense(self.channels[0], dtype=self.dtype, name="stem")(
-            point.feat
-        )
-        skips = []
-        for s in range(num_down + 1):
-            lvl = levels[s]
-            if s > 0:
-                feat = nn.Dense(self.channels[s], dtype=self.dtype,
-                                name=f"down{s}")(feat)
-                feat = pyr.pool_features(feat, levels[s], reduce="max")
-            for i in range(self.depths[s]):
-                f = VectorAttentionV1(self.channels[s], self.k_neighbors,
-                                      dtype=self.dtype, name=f"enc{s}_att{i}")(
-                    feat, lvl.point.coord, lvl.point.mask, train
-                )
-                feat = feat + f
-            if s < num_down:
-                skips.append(feat)
-        for s in reversed(range(num_down)):
-            feat = nn.Dense(self.channels[s], dtype=self.dtype,
-                            name=f"up{s}")(feat)
-            feat = pyr.unpool_features(feat, levels[s + 1])
-            feat = feat + nn.Dense(self.channels[s], dtype=self.dtype,
-                                   name=f"skipproj{s}")(skips[s])
-        return point.replace(
-            feat=nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(
-                feat.astype(jnp.float32)
-            )
-        )

@@ -155,8 +155,8 @@ def test_ptv2_and_ptv1(rng):
              enc_groups=(2, 4), dec_channels=(8, 8), dec_depths=(1, 1),
              dec_groups=(2, 2), k_neighbors=8, capacity_div=(1, 2, 4)),
         dict(type="PT-v1", in_channels=6, num_classes=5,
-             channels=(8, 16, 16), depths=(1, 1, 1), k_neighbors=8,
-             capacity_div=(1, 2, 4)),
+             channels=(8, 16, 16), depths=(1, 1, 1), share_planes=4,
+             nsample=(8, 8, 8), capacity_div=(1, 4, 16)),
     ):
         model = build_model(cfg)
         variables = jax.jit(lambda r, p: model.init(r, p, train=False))(RNGS, pt)

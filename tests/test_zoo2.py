@@ -228,3 +228,20 @@ def test_swin3d(rng):
         for t in ("query", "key", "value"):
             assert f"{t}_{sig}_table" in attn0
     assert "query_norm_table" not in attn0
+
+
+def test_ptv1_faithful(rng):
+    """Faithful PTv1: Seg-style 5-stage FPS UNet forwards, grads flow, and
+    per-level FPS counts respect the per-scene stride-4 quota."""
+    pt = synthetic_batch(rng, counts=(180, 120), num_points=320, depth=6)
+    _check_forward_and_grad(
+        dict(type="PT-v1", in_channels=6, num_classes=5,
+             channels=(8, 8, 16, 16, 16), depths=(1, 1, 1, 1, 1),
+             share_planes=4, nsample=(4, 8, 8, 8, 8),
+             capacity_div=(1, 4, 16, 64, 256)),
+        pt,
+    )
+    # the registered Seg26 alias builds with reference depths
+    from cdsegnet_tpu.models.ptv1 import PointTransformerSeg26
+
+    assert PointTransformerSeg26().depths == (1, 1, 1, 1, 1)
