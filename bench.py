@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import sys
 import time
 
+
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 sys.path.insert(0, ".")
 
 import jax
@@ -92,7 +96,9 @@ def main():
         cfg["backbone"]["scan_blocks"] = scan != "0"
     parity = {}
     if jax.default_backend() != "cpu" and not os.environ.get("BENCH_SKIP_PARITY"):
+        _note("pallas parity check...")
         parity = check_pallas_parity()
+        _note(f"parity ok: {parity}")
 
     model = build_model(cfg)
     point = _synthetic_point_batch(num_points, 1, depth=10, seed=0)
@@ -102,10 +108,12 @@ def main():
         params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
         shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
     )
+    _note("init...")
     t0 = time.time()
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
     jax.block_until_ready(variables)
     init_s = time.time() - t0
+    _note(f"init {init_s:.1f}s; ssi compile...")
 
     noise = jax.random.normal(jax.random.PRNGKey(7), (num_points, 6))
 
@@ -121,7 +129,7 @@ def main():
     out = ssi(variables, point, noise)
     _ = float(jnp.sum(out))
     compile_s = time.time() - t0
-
+    _note(f"ssi compile {compile_s:.1f}s; timing...")
 
     # dispatch all iterations (the device stream executes them in order),
     # then force ONE host read: a per-iteration read would add the ~32 ms
@@ -135,6 +143,7 @@ def main():
     dt = (time.time() - t0) / iters
 
     pts_per_sec = n_real / dt
+    _note(f"ssi {dt*1e3:.1f} ms/step ({pts_per_sec:.0f} pts/s)")
 
     extra = dict(
         step_ms=round(dt * 1e3, 2),
@@ -146,6 +155,7 @@ def main():
     )
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
+        _note("train bench @104k...")
         train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
         extra.update(
             train_points_per_sec_per_chip=round(train_pps, 1),
@@ -157,6 +167,7 @@ def main():
         # the shipped recipe bucket: 2 x SphereCrop-102,400 points/chip
         # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU)
         recipe_points = 204800
+        _note("train bench @204800 (recipe scale)...")
         try:
             r_pps, r_ms, r_compile = bench_train(
                 cfg, recipe_points, remat=False, iters=3
@@ -236,6 +247,7 @@ def bench_train(cfg, num_points, remat=None, iters=5):
     state, metrics = step_fn(state, batch)
     _ = float(metrics["loss"])
     compile_s = time.time() - t0
+    _note(f"train compile {compile_s:.1f}s @ {num_points} pts")
     t0 = time.time()
     for _ in range(iters):
         state, metrics = step_fn(state, batch)

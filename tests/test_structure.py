@@ -189,3 +189,18 @@ def test_compose_k5_vs_exact(rng):
     assert not missing_but_reachable.any()
     # and every reachable entry is found (full two-hop closure)
     np.testing.assert_array_equal(composed, reach)
+
+
+def test_blocked_cummax():
+    """_blocked_cummax == np.maximum.accumulate at awkward sizes (the
+    associative_scan replacement that keeps TPU compile time bounded)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.structure import _blocked_cummax
+
+    rng = np.random.RandomState(3)
+    for m in (1, 5, 4096, 4097, 10000, 1 << 17):
+        x = rng.randint(-(1 << 60), 1 << 60, size=m).astype(np.int64)
+        got = np.asarray(_blocked_cummax(jnp.asarray(x), chunk=4096))
+        np.testing.assert_array_equal(got, np.maximum.accumulate(x))
