@@ -49,6 +49,7 @@ class SemSegTester:
         self.save_path = cfg.get("save_path", "exp/default")
         self._jit_cache: Dict[int, callable] = {}
         self._ddim_step = None
+        self._geom = None
         self._ddim_trace_count = 0  # observability: one trace per bucket shape
 
     def _ddim_step_fn(self):
@@ -58,12 +59,24 @@ class SemSegTester:
         if self._ddim_step is None:
             model = self.model
 
-            def step(v, p, cf, t):
+            def step(v, p, cf, t, g):
                 self._ddim_trace_count += 1  # runs only when tracing
-                return model.apply(v, p, cf, t, method=CNFSegmentor.denoise_step)
+                return model.apply(
+                    v, p, cf, t, g, method=CNFSegmentor.denoise_step
+                )
 
             self._ddim_step = jax.jit(step)
         return self._ddim_step
+
+    def _geom_fn(self):
+        """Persistent jitted pyramid precompute (pure function of the point
+        geometry) — shared across SSI and every DDIM step of a fragment."""
+        if self._geom is None:
+            backbone = self.model.backbone
+            self._geom = jax.jit(
+                lambda p: backbone.precompute_geometry(p)
+            )
+        return self._geom
 
     # -- jitted per-bucket SSI forward ------------------------------------
     def _infer_fn(self, n: int):
@@ -72,6 +85,28 @@ class SemSegTester:
         model = self.model
 
         model_kwargs = dict(self.cfg.get("model_kwargs", {}) or {})
+
+        if isinstance(model, CNFSegmentor) and hasattr(
+            model.backbone, "precompute_geometry"
+        ):
+            # split executables: the geometry pyramid compiles separately
+            # from the model compute and is reused by the DDIM paths
+            geom_fn = self._geom_fn()
+            point_fn = jax.jit(lambda b: batch_to_point(b, self.depth, 1))
+
+            @jax.jit
+            def cnf_fn(variables, point, noise, geometry):
+                return model.apply(
+                    variables, point, noise, geometry,
+                    method=CNFSegmentor.inference,
+                )["seg_logits"]
+
+            def fn_split(variables, batch, noise, rng):
+                point = point_fn(batch)
+                return cnf_fn(variables, point, noise, geom_fn(point))
+
+            self._jit_cache[n] = fn_split
+            return fn_split
 
         @jax.jit
         def fn(variables, batch, noise, rng):
@@ -126,11 +161,17 @@ class SemSegTester:
             point = batch_to_point(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.depth, 1
             )
+            geometry = (
+                self._geom_fn()(point)
+                if hasattr(self.model.backbone, "precompute_geometry")
+                else None
+            )
             logits = inference_ddim(
                 self.model, self._variables(), point, rng,
                 step=self.inference_step,
                 mode="avg" if self.inference_mode == "MSAI" else "final",
                 jit_step=self._ddim_step_fn(),
+                geometry=geometry,
             )
         probs = jax.nn.softmax(np.asarray(logits)[:n_frag], axis=-1)
         return np.asarray(probs)

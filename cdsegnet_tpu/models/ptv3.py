@@ -748,6 +748,12 @@ class PointTransformerV3(nn.Module):
             stem_kernel=5,
         )
 
+    def precompute_geometry(self, point: PointBatch, shuffle_key=None):
+        """Build ``(levels, stem_nbr)`` outside of ``apply`` (no params or
+        rngs touched) — a jittable pure function of the point geometry,
+        suitable for one-per-batch precomputation in inference drivers."""
+        return self._pyramid(point, shuffle_key)
+
     def _attach(self, point: PointBatch, level: pyr.Level, feat, t_emb=None):
         """Bind branch features to a pyramid level's geometry."""
         return level.point.replace(feat=feat, t_emb=t_emb)
@@ -795,12 +801,15 @@ class PointTransformerV3(nn.Module):
         c_point: Optional[PointBatch] = None,
         t_emb: Optional[jnp.ndarray] = None,
         train: bool = False,
+        geometry=None,
     ):
-        shuffle_key = (
-            self.make_rng("shuffle")
-            if (self.shuffle_orders and train and self.has_rng("shuffle"))
-            else None
-        )
+        """``geometry`` optionally supplies a precomputed ``(levels,
+        stem_nbr)`` pyramid (see :meth:`precompute_geometry`). Passing it
+        keeps the geometry build out of this executable — the pyramid is a
+        pure function of the point *coordinates*, so inference drivers can
+        compute it once per batch and reuse it across both branches and all
+        diffusion steps (the reference re-serializes per branch per forward,
+        `point_transformer_v3m1_base.py:1527-1560`)."""
         if self.remat_blocks:
             policy = (
                 getattr(jax.checkpoint_policies, self.remat_policy)
@@ -809,7 +818,15 @@ class PointTransformerV3(nn.Module):
             BlockCls = nn.remat(Block, static_argnums=(2,), policy=policy)
         else:
             BlockCls = Block
-        levels, stem_nbr = self._pyramid(n_point, shuffle_key)
+        if geometry is not None:
+            levels, stem_nbr = geometry
+        else:
+            shuffle_key = (
+                self.make_rng("shuffle")
+                if (self.shuffle_orders and train and self.has_rng("shuffle"))
+                else None
+            )
+            levels, stem_nbr = self._pyramid(n_point, shuffle_key)
         deterministic = not train
 
         # ---- t embedding MLP (reference `:1594-1599,1771-1778`) ----

@@ -136,10 +136,13 @@ class CNFSegmentor(nn.Module):
         return out
 
     def inference(
-        self, point: PointBatch, noise: Optional[jnp.ndarray] = None
+        self, point: PointBatch, noise: Optional[jnp.ndarray] = None,
+        geometry=None,
     ) -> Dict[str, Any]:
         """SSI: one pass with the c-branch fed pure noise at t = T-1
-        (reference `default.py:371-422`)."""
+        (reference `default.py:371-422`). ``geometry`` optionally supplies
+        the precomputed pyramid (see
+        `PointTransformerV3.precompute_geometry`)."""
         seg_valid = point.mask & (
             (point.segment >= 0) if point.segment is not None else point.mask
         )
@@ -162,11 +165,14 @@ class CNFSegmentor(nn.Module):
             self._scene_t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
         )
         c_point = point.replace(feat=c_feat)
-        _, n_out = self.backbone(point, c_point, t_emb=t_emb_pt, train=False)
+        _, n_out = self.backbone(
+            point, c_point, t_emb=t_emb_pt, train=False, geometry=geometry
+        )
         return dict(seg_logits=n_out.feat, seg_valid=seg_valid)
 
     def denoise_step(
-        self, point: PointBatch, c_feat: jnp.ndarray, t: jnp.ndarray
+        self, point: PointBatch, c_feat: jnp.ndarray, t: jnp.ndarray,
+        geometry=None,
     ) -> Dict[str, Any]:
         """One DDIM step: predict (c_eps, n_logits) and the next c state.
 
@@ -178,7 +184,9 @@ class CNFSegmentor(nn.Module):
             self._scene_t_emb(ts_scene, point.batch) if self.t_dim != -1 else None
         )
         c_point = point.replace(feat=c_feat)
-        c_out, n_out = self.backbone(point, c_point, t_emb=t_emb_pt, train=False)
+        c_out, n_out = self.backbone(
+            point, c_point, t_emb=t_emb_pt, train=False, geometry=geometry
+        )
         ts_pt = jnp.full((point.num_points,), t, jnp.int32)
         c_next = self.schedule.ddim_step(
             c_feat, ts_pt, c_out.feat, target=self.dm_target
@@ -194,23 +202,33 @@ def inference_ddim(
     step: int = 5,
     mode: str = "avg",
     jit_step=None,
+    geometry=None,
 ) -> jnp.ndarray:
     """MSAI ("avg") / MSFI ("final") multi-step inference driver
-    (reference `default.py:278-369`; always starts from pure noise)."""
+    (reference `default.py:278-369`; always starts from pure noise).
+
+    The geometry pyramid is a pure function of the point coordinates, so it
+    is computed ONCE and shared by every denoise step (the reference
+    re-serializes inside each forward)."""
     sched = time_schedule(model.T, step)
     c_feat = jax.random.normal(
         rng, (point.num_points, model.c_in_channels), jnp.float32
     )
+    if geometry is None and hasattr(model.backbone, "precompute_geometry"):
+        geometry = jax.jit(model.backbone.precompute_geometry)(point)
     if jit_step is None:
         jit_step = jax.jit(
-            lambda v, p, cf, t: model.apply(
-                v, p, cf, t, method=CNFSegmentor.denoise_step
+            lambda v, p, cf, t, g: model.apply(
+                v, p, cf, t, g, method=CNFSegmentor.denoise_step
             )
         )
     n_pred = jnp.zeros((point.num_points, model.num_classes), jnp.float32)
     count = 0
     for t in sched:
-        res = jit_step(variables, point, c_feat, jnp.asarray(max(t, 0), jnp.int32))
+        res = jit_step(
+            variables, point, c_feat, jnp.asarray(max(t, 0), jnp.int32),
+            geometry,
+        )
         if mode == "avg":
             n_pred = n_pred + res["n_logits"]
         else:

@@ -212,12 +212,33 @@ def _blocked_cummax(x: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
     return jnp.maximum(within, shifted[:, None]).reshape(-1)[:m]
 
 
+def _windowed_max(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Max over the trailing ``window`` positions (inclusive) by doubling
+    shifted-max passes — ceil(log2(window)) elementwise passes, no scan.
+
+    `jax.lax.associative_scan` is a TPU *compile-time* bomb at multi-million
+    lengths (see `_blocked_cummax`), and even its blocked form leans on the
+    same lowering; when the propagation distance is bounded (equal-code runs
+    in the neighbor-table sorts are at most #offsets long), a shift cascade
+    is compile-trivial and runtime-cheap (each pass is one fused
+    pad+max over the array).
+    """
+    fill = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    sh = 1
+    while sh < window:
+        shifted = jnp.concatenate([jnp.full((sh,), fill, x.dtype), x[:-sh]])
+        x = jnp.maximum(x, shifted)
+        sh *= 2
+    return x
+
+
 def exact_match_lookup(
     keys: jnp.ndarray,
     key_index: jnp.ndarray,
     queries: jnp.ndarray,
     key_bits: int,
     missing: int,
+    max_run: Optional[int] = None,
 ) -> jnp.ndarray:
     """For each query key, the ``key_index`` of an equal element of ``keys``,
     or ``missing`` when absent.
@@ -228,6 +249,14 @@ def exact_match_lookup(
     propagates the most recent key row (carrying its payload) to every
     query, an in-register equality check, and one scatter. No per-element
     post-sort gathers (XLA lowers those to latency-bound scalar loads).
+
+    ``max_run``: when the caller guarantees that at most ``max_run``
+    consecutive sorted elements share one code (keys unique per code and a
+    bounded number of equal queries — true for the neighbor-table builds,
+    where a voxel is queried by at most #kernel-offsets origins), the key
+    propagation uses a log2(max_run) shifted-max cascade instead of a full
+    cumulative scan; exactness is unchanged because a query's matching key
+    is always the head of its own equal-code run.
     """
     nk, nq = keys.shape[0], queries.shape[0]
     idx_bits = max((nk + nq - 1).bit_length(), (missing + 1).bit_length())
@@ -252,7 +281,13 @@ def exact_match_lookup(
     s = jnp.sort(jnp.concatenate([pk, pq]))
     is_key = (s & flag) == 0
     # most recent key row at or before each position (keys ascend with s)
-    last_key = _blocked_cummax(jnp.where(is_key, s, -1))
+    masked = jnp.where(is_key, s, jnp.int64(-1))
+    if max_run is not None:
+        # +1: the window must span the run head (the key) from the run's
+        # last query, i.e. max_run query slots plus the key itself
+        last_key = _windowed_max(masked, max_run + 1)
+    else:
+        last_key = _blocked_cummax(masked)
     match = (last_key >= 0) & ((last_key >> shift) == (s >> shift))
     payload = (s & (flag - 1)).astype(jnp.int32)
     neigh = jnp.where(match, (last_key & (flag - 1)).astype(jnp.int32), missing)
@@ -316,8 +351,11 @@ def build_neighbor_table(
         depth=depth,
         order="z",
     )
+    # run bound: voxels are unique per scene (grid-sample invariant), so a
+    # code is shared by at most 1 key + `half` queries
     nbr_h = exact_match_lookup(
-        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n
+        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n,
+        max_run=half,
     ).reshape(n, half)
     nbr_h = jnp.where(in_range & mask[:, None], nbr_h, n)
 
@@ -407,7 +445,8 @@ def build_k5_shell_table(
         q_coord.reshape(-1, 3), jnp.repeat(batch, h), depth=depth, order="z"
     )
     nbr_s = exact_match_lookup(
-        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n
+        keys, jnp.arange(n, dtype=jnp.int32), q_keys, key_bits, missing=n,
+        max_run=h,
     ).reshape(n, h)
     nbr_s = jnp.where(in_range & mask[:, None], nbr_s, n)
 

@@ -191,6 +191,53 @@ def test_compose_k5_vs_exact(rng):
     np.testing.assert_array_equal(composed, reach)
 
 
+def test_windowed_max_covers_run_bound():
+    """_windowed_max(window) == running max over the trailing `window`
+    positions — the bounded propagation used by exact_match_lookup."""
+    from cdsegnet_tpu.models.structure import _windowed_max
+
+    rng = np.random.RandomState(7)
+    for m, w in ((1, 1), (17, 3), (1000, 14), (5000, 50)):
+        x = rng.randint(-(1 << 40), 1 << 40, size=m).astype(np.int64)
+        got = np.asarray(_windowed_max(jnp.asarray(x), w))
+        # expected coverage: the next power of two >= w
+        cov = 1
+        while cov < w:
+            cov *= 2
+        want = np.array(
+            [x[max(0, i - cov + 1): i + 1].max() for i in range(m)]
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_exact_match_lookup_bounded_run():
+    """max_run-bounded lookup agrees with the exact scan path when each
+    code's run respects the bound (the neighbor-table invariant)."""
+    from cdsegnet_tpu.models.structure import exact_match_lookup
+
+    rng = np.random.RandomState(11)
+    nk, per = 64, 5
+    keys = np.sort(rng.choice(1 << 16, size=nk, replace=False)).astype(np.int64)
+    # up to `per` queries per key + some misses
+    queries = np.concatenate(
+        [np.repeat(keys, rng.randint(0, per + 1, size=nk)), keys + (1 << 17)]
+    ).astype(np.int64)
+    rng.shuffle(queries)
+    ki = jnp.arange(nk, dtype=jnp.int32)
+    kj, qj = jnp.asarray(keys), jnp.asarray(queries)
+    exact = np.asarray(
+        exact_match_lookup(kj, ki, qj, key_bits=18, missing=nk)
+    )
+    bounded = np.asarray(
+        exact_match_lookup(kj, ki, qj, key_bits=18, missing=nk, max_run=per)
+    )
+    np.testing.assert_array_equal(exact, bounded)
+    # ground truth
+    lut = {int(k): i for i, k in enumerate(keys)}
+    want = np.array([lut.get(int(q), nk) for q in queries])
+    np.testing.assert_array_equal(bounded, want)
+
+
 def test_blocked_cummax():
     """_blocked_cummax == np.maximum.accumulate at awkward sizes (the
     associative_scan replacement that keeps TPU compile time bounded)."""
