@@ -167,11 +167,22 @@ def main():
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         _note("train bench @104k...")
-        train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
+        try:
+            train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
+            t_remat = False
+        except Exception as e:  # HBM OOM -> remat retry (relay says INTERNAL)
+            if "RESOURCE_EXHAUSTED" not in str(e) and "out of memory" not in str(e).lower():
+                raise
+            _note("train @104k OOM without remat; retrying with remat")
+            train_pps, train_ms, train_compile_s = bench_train(
+                cfg, num_points, remat=True
+            )
+            t_remat = True
         extra.update(
             train_points_per_sec_per_chip=round(train_pps, 1),
             train_step_ms=round(train_ms, 2),
             train_compile_s=round(train_compile_s, 1),
+            train_remat=t_remat,
         )
 
     if not os.environ.get("BENCH_SKIP_RECIPE"):
@@ -185,7 +196,9 @@ def main():
             )
             r_remat = False
         except Exception as e:  # HBM OOM at this scale -> remat retry
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            # the remote-compile relay surfaces OOM as INTERNAL, not
+            # RESOURCE_EXHAUSTED — match the message too
+            if "RESOURCE_EXHAUSTED" not in str(e) and "out of memory" not in str(e).lower():
                 raise
             r_pps, r_ms, r_compile = bench_train(
                 cfg, recipe_points, remat=True, iters=3

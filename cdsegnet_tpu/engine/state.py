@@ -118,7 +118,11 @@ def _build_grad_step(apply_loss, tx, mesh):
         return new_state, metrics
 
     if mesh is None:
-        @jax.jit
+        # donate the state: without it the old and new params + optimizer
+        # moments (~3x params) are both live across the step — measured as
+        # the difference between fitting and OOM for the 104k-point train
+        # bucket on a 16G v5e chip
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step_fn(state, batch):
             return local_step(state, batch, jnp.int32(0))
 
@@ -136,7 +140,7 @@ def _build_grad_step(apply_loss, tx, mesh):
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P()),
     )
-    return jax.jit(smapped)
+    return jax.jit(smapped, donate_argnums=(0,))
 
 
 def make_train_step(

@@ -60,13 +60,16 @@ def build_level0(
     orders: Tuple[str, ...],
     shuffle_key: Optional[jax.Array],
     cpe_kernel: int = 3,
+    build_nbr: bool = True,
 ) -> Level:
     pt = serialize(point, orders=orders, shuffle_key=shuffle_key)
-    nbr = build_neighbor_table(
-        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
-        kernel_size=cpe_kernel, num_scenes=pt.num_scenes,
-    )
-    return Level(point=pt.replace(neighbor_idx=nbr))
+    if build_nbr:
+        nbr = build_neighbor_table(
+            pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
+            kernel_size=cpe_kernel, num_scenes=pt.num_scenes,
+        )
+        pt = pt.replace(neighbor_idx=nbr)
+    return Level(point=pt)
 
 
 def build_pooled_level(
@@ -76,6 +79,7 @@ def build_pooled_level(
     orders: Tuple[str, ...],
     shuffle_key: Optional[jax.Array],
     cpe_kernel: int = 3,
+    build_nbr: bool = True,
 ) -> Level:
     """Derive the coarse level geometry from ``parent`` (no features touched).
 
@@ -167,11 +171,12 @@ def build_pooled_level(
         depth=pp.depth - pd,
         num_scenes=pp.num_scenes,
     )
-    nbr = build_neighbor_table(
-        child.grid_coord, child.batch, child.mask, depth=child.depth,
-        kernel_size=cpe_kernel, num_scenes=child.num_scenes,
-    )
-    child = child.replace(neighbor_idx=nbr)
+    if build_nbr:
+        nbr = build_neighbor_table(
+            child.grid_coord, child.batch, child.mask, depth=child.depth,
+            kernel_size=cpe_kernel, num_scenes=child.num_scenes,
+        )
+        child = child.replace(neighbor_idx=nbr)
     return Level(
         point=child,
         pool_sort=sort0,
@@ -281,30 +286,80 @@ def build_pyramid(
     shuffle_key: Optional[jax.Array],
     stem_kernel: int = 5,
 ) -> Tuple[Sequence[Level], jnp.ndarray]:
-    """Full geometry pyramid + the k5 stem neighbor table for level 0."""
+    """Full geometry pyramid + the stem neighbor table for level 0.
+
+    Two phases. Phase 1 (fine -> coarse): serialization + pooling structure
+    per level — cheap packed sorts at level 0, sort-free prefix derivations
+    below. Phase 2 (coarse -> fine): submanifold neighbor tables. Only the
+    coarsest level pays a sorted `exact_match_lookup`; every finer level's
+    k3 (and level 0's k5 stem) table comes from the exact multigrid parity
+    gather (`structure.parity_neighbor_table`) through the stride-2 child it
+    just built — no full-resolution code sorts anywhere.
+    """
+    from cdsegnet_tpu.models.structure import (
+        K3_FROM_K5_COLS,
+        build_k5_shell_table,
+        parity_neighbor_table,
+    )
+
     keys = (
         list(jax.random.split(shuffle_key, len(strides) + 1))
         if shuffle_key is not None
         else [None] * (len(strides) + 1)
     )
-    lvl0 = build_level0(point, orders, keys[0])
-    if stem_kernel == 5:
-        from cdsegnet_tpu.models.structure import build_k5_shell_table
-
-        stem_nbr = build_k5_shell_table(
-            point.grid_coord, point.batch, point.mask,
-            lvl0.point.neighbor_idx, depth=point.depth,
-            num_scenes=point.num_scenes,
-        )
-    else:
-        stem_nbr = build_neighbor_table(
-            point.grid_coord, point.batch, point.mask, depth=point.depth,
-            kernel_size=stem_kernel, num_scenes=point.num_scenes,
-        )
-    levels = [lvl0]
+    levels = [build_level0(point, orders, keys[0], build_nbr=False)]
     for i, (s, cap) in enumerate(zip(strides, capacities)):
         levels.append(
-            build_pooled_level(levels[-1], s, cap, orders, keys[i + 1])
+            build_pooled_level(
+                levels[-1], s, cap, orders, keys[i + 1], build_nbr=False
+            )
+        )
+
+    # Phase 2: neighbor tables, coarse -> fine.
+    last = levels[-1].point
+    levels[-1] = levels[-1].replace(
+        point=last.replace(
+            neighbor_idx=build_neighbor_table(
+                last.grid_coord, last.batch, last.mask, depth=last.depth,
+                kernel_size=3, num_scenes=last.num_scenes,
+            )
+        )
+    )
+    stem_nbr = None
+    for lv in range(len(levels) - 2, -1, -1):
+        pt = levels[lv].point
+        child = levels[lv + 1]
+        want_k5 = lv == 0 and stem_kernel == 5
+        if strides[lv] == 2:
+            table = parity_neighbor_table(
+                pt.grid_coord, pt.mask, pt.depth,
+                child.parent_inverse, child.point.neighbor_idx,
+                kernel_size=5 if want_k5 else 3,
+            )
+            if want_k5:
+                stem_nbr = table
+                table = table[:, jnp.asarray(K3_FROM_K5_COLS)]
+        else:  # non-stride-2 pair: sorted lookup fallback
+            table = build_neighbor_table(
+                pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
+                kernel_size=3, num_scenes=pt.num_scenes,
+            )
+            if want_k5:
+                stem_nbr = build_k5_shell_table(
+                    pt.grid_coord, pt.batch, pt.mask, table,
+                    depth=pt.depth, num_scenes=pt.num_scenes,
+                )
+        levels[lv] = levels[lv].replace(point=pt.replace(neighbor_idx=table))
+
+    if stem_nbr is None:
+        p0 = levels[0].point
+        stem_nbr = (
+            p0.neighbor_idx
+            if stem_kernel == 3
+            else build_neighbor_table(
+                point.grid_coord, point.batch, point.mask, depth=point.depth,
+                kernel_size=stem_kernel, num_scenes=point.num_scenes,
+            )
         )
     return levels, stem_nbr
 

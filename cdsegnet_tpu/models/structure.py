@@ -466,6 +466,151 @@ def build_k5_shell_table(
     return out[:n].astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Multigrid parity lookup: exact neighbor tables with no sorting.
+#
+# A stride-2 pooled level's clusters are exactly the 2x2x2 voxel blocks of its
+# parent, so (cluster slot, voxel-parity bits) <-> parent voxel is a bijection
+# per scene. And for any kernel offset |d|_inf <= 2, floor((x+d)/2) -
+# floor(x/2) is in {-1,0,1} per axis — the target voxel's block is within the
+# CHILD's own 3x3x3 neighborhood, which the child's k3 table already indexes.
+# So the parent's exact k3 AND k5 tables are pure gathers: child-table row
+# lookup + an 8-wide member-table gather, no code sort, no hash probe. (The
+# sort-based `exact_match_lookup` at level-0 k5 scale sorts ~50N int64 words —
+# 88 ms and a 42 MB-per-buffer HBM spike at 104k points; this is ~2 gathers.)
+# The only sorted table build left is the coarsest level's (~N/64 points).
+# ---------------------------------------------------------------------------
+
+
+def _parity_bits(gc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) voxel coords -> (N,) 3-bit position within its 2x2x2 block."""
+    return ((gc[:, 0] & 1) << 2) | ((gc[:, 1] & 1) << 1) | (gc[:, 2] & 1)
+
+
+def build_cluster_members(
+    parent_inverse: jnp.ndarray,
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    m: int,
+) -> jnp.ndarray:
+    """(M+1, 8) table: ``members[cluster, parity] = parent index`` (or Np).
+
+    Unique per slot because voxels are unique per scene and a stride-2
+    cluster holds at most one voxel of each parity. Parents of the overflow
+    cluster (slot m-1, always invalid by the pyramid convention) are
+    excluded — they are already dropped from every coarser level.
+    """
+    n = grid_coord.shape[0]
+    row = jnp.where(mask & (parent_inverse < m - 1), parent_inverse, m)
+    members = jnp.full((m + 1, 8), n, jnp.int32)
+    members = members.at[row, _parity_bits(grid_coord)].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return members.at[m].set(n)  # re-arm the sentinel row
+
+
+def _parity_select_tables(kernel_size: int):
+    """(8, K) static select indices into the flattened (27*8) member block.
+
+    For a point with parity bits r = x & 1 and kernel offset d, the target
+    voxel's coarse block is ``floor((r+d)/2)`` relative to the point's own
+    block and its member slot is ``(r+d) & 1`` — both depend ONLY on (r, d),
+    never on the full coordinate. So per parity class the whole K-column
+    lookup is one static fancy-index.
+    """
+    import numpy as np
+
+    r = kernel_size // 2
+    offs = [
+        (x, y, z)
+        for x in range(-r, r + 1)
+        for y in range(-r, r + 1)
+        for z in range(-r, r + 1)
+    ]
+    sel = np.zeros((8, len(offs)), np.int32)
+    for pi in range(8):
+        pb = ((pi >> 2) & 1, (pi >> 1) & 1, pi & 1)
+        for c, d in enumerate(offs):
+            e = [(pb[a] + d[a]) // 2 for a in range(3)]
+            sb = [(pb[a] + d[a]) % 2 for a in range(3)]
+            cidx = ((e[0] + 1) * 3 + (e[1] + 1)) * 3 + (e[2] + 1)
+            slot = (sb[0] << 2) | (sb[1] << 1) | sb[2]
+            sel[pi, c] = cidx * 8 + slot
+    return sel
+
+
+_PARITY_SEL = {}
+
+
+def parity_neighbor_table(
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    depth: int,
+    parent_inverse: jnp.ndarray,
+    child_nbr: jnp.ndarray,
+    kernel_size: int = 3,
+) -> jnp.ndarray:
+    """Exact submanifold neighbor table (kernel 3 or 5) via the stride-2
+    child level's cluster structure — row gathers + static selects, no sort.
+
+    Replaces `build_neighbor_table` / `build_k5_shell_table` whenever a
+    stride-2 pooled child exists (the TPU answer to spconv's per-layer GPU
+    hash builds, reference `point_transformer_v3m1_base.py:355-365,646-663`).
+
+    Cost shape matters on TPU: per-element dynamic gathers lower to
+    scalar-granularity HBM loads (measured ~12x slower than row gathers —
+    a naive `members[tc, slot]` at (N, 125) ran 232 ms). Instead we gather
+    each point's 27 adjacent member rows once (32 B rows), then resolve all
+    K columns with an 8-way parity-unrolled STATIC fancy-index + select —
+    the (block, slot) pair depends only on the point's voxel parity bits.
+
+    Args:
+      grid_coord/mask/depth: the PARENT level's voxels (N points).
+      parent_inverse: (N,) parent index -> child cluster slot.
+      child_nbr: (M, 27) the child level's own k3 table (slot -> slot, M =
+        missing).
+    Returns (N, K) int32; N marks a missing neighbor.
+    """
+    if kernel_size not in (3, 5):
+        raise ValueError("parity lookup supports kernel 3 or 5 only")
+    if kernel_size not in _PARITY_SEL:
+        _PARITY_SEL[kernel_size] = _parity_select_tables(kernel_size)
+    sel_tab = _PARITY_SEL[kernel_size]  # (8, K) numpy
+    n = grid_coord.shape[0]
+    m = child_nbr.shape[0]
+    offs = kernel_offsets(kernel_size)  # (K, 3)
+    members = build_cluster_members(parent_inverse, grid_coord, mask, m)
+    own = jnp.where(mask & (parent_inverse < m - 1), parent_inverse, m)
+    nbr_rows = jnp.take(child_nbr, jnp.minimum(own, m - 1), axis=0)
+    nbr_rows = jnp.where((own < m)[:, None], nbr_rows, m)  # (N, 27)
+
+    # one row gather of each point's 27 adjacent member rows
+    blocks = jnp.take(members, nbr_rows, axis=0).reshape(n, 27 * 8)
+
+    pi = _parity_bits(grid_coord)  # (N,)
+    nb = jnp.full((n, offs.shape[0]), n, jnp.int32)
+    for g in range(8):
+        sel_g = blocks[:, sel_tab[g]]  # static fancy-index (N, K)
+        nb = jnp.where((pi == g)[:, None], sel_g, nb)
+
+    t = grid_coord[:, None, :] + offs[None]  # (N, K, 3)
+    in_range = jnp.all((t >= 0) & (t < (1 << depth)), axis=-1) & mask[:, None]
+    return jnp.where(in_range, nb, n).astype(jnp.int32)
+
+
+def _k3_from_k5_cols():
+    """k5 column index of each k3 offset (k3 enumeration order)."""
+    cols = []
+    for x in (-1, 0, 1):
+        for y in (-1, 0, 1):
+            for z in (-1, 0, 1):
+                cols.append((x + 2) * 25 + (y + 2) * 5 + (z + 2))
+    return tuple(cols)
+
+
+K3_FROM_K5_COLS = _k3_from_k5_cols()
+
+
 def _k5_decompositions():
     """For every k5 offset d, all (a, b) k3-offset pairs with a + b = d.
 

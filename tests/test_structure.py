@@ -191,6 +191,59 @@ def test_compose_k5_vs_exact(rng):
     np.testing.assert_array_equal(composed, reach)
 
 
+def test_parity_tables_match_sorted_builders(rng):
+    """The multigrid parity gather reproduces the sort-based exact tables —
+    k3 at every level and the k5 stem — bit for bit (generous capacities, so
+    no overflow drops)."""
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=320, depth=6)
+    levels, stem = pyr.build_pyramid(
+        pt, strides=(2, 2, 2), capacities=(320, 320, 320), orders=ORDERS,
+        shuffle_key=None, stem_kernel=5,
+    )
+    for lvl in levels[:-1]:  # coarsest is itself sort-based
+        p = lvl.point
+        want = build_neighbor_table(
+            p.grid_coord, p.batch, p.mask, depth=p.depth, kernel_size=3,
+            num_scenes=p.num_scenes,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p.neighbor_idx), np.asarray(want)
+        )
+    want5 = build_neighbor_table(
+        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=5,
+        num_scenes=pt.num_scenes,
+    )
+    np.testing.assert_array_equal(np.asarray(stem), np.asarray(want5))
+
+
+def test_parity_tables_overflow_rows_go_missing(rng):
+    """Points dropped by cluster overflow (the always-invalid trash slot) get
+    all-missing table rows; everyone else stays exact."""
+    pt = synthetic_batch(rng, counts=(150,), num_points=256, depth=6)
+    levels, _ = pyr.build_pyramid(
+        pt, strides=(2,), capacities=(64,), orders=ORDERS, shuffle_key=None,
+        stem_kernel=3,
+    )
+    l0, l1 = levels[0], levels[1]
+    got = np.asarray(l0.point.neighbor_idx)
+    n = pt.num_points
+    dropped = np.asarray(l1.parent_inverse) >= l1.size - 1
+    assert dropped.any()  # capacity 64 must overflow a 150-point scene
+    assert (got[dropped] == n).all()
+    want = np.asarray(
+        build_neighbor_table(
+            pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=3
+        )
+    )
+    keep = ~dropped & np.asarray(pt.mask)
+    # a kept point may still reference a dropped point -> missing; other
+    # entries agree with the exact table
+    agree = (got[keep] == want[keep]) | (
+        (got[keep] == n) & np.isin(want[keep], np.where(dropped)[0])
+    )
+    assert agree.all()
+
+
 def test_windowed_max_covers_run_bound():
     """_windowed_max(window) == running max over the trailing `window`
     positions — the bounded propagation used by exact_match_lookup."""

@@ -88,7 +88,21 @@ def main():
             shuffle_key=None,
         )
     )
-    timed("full pyramid (5 lvls + stem)", pyramid_j, point)
+    levels_out = timed("full pyramid (5 lvls + stem)", pyramid_j, point)
+
+    # parity-gather k5 stem alone (needs level 1 structure)
+    from cdsegnet_tpu.models.structure import parity_neighbor_table
+
+    l1 = levels_out[0][1]
+    parity_j = jax.jit(
+        lambda p, pinv, nbr1: parity_neighbor_table(
+            p.grid_coord, p.mask, 10, pinv, nbr1, kernel_size=5
+        )
+    )
+    timed(
+        "k5 stem parity gather (new)", parity_j, point, l1.parent_inverse,
+        l1.point.neighbor_idx,
+    )
 
     lvl0_j = jax.jit(lambda p: pyr.build_level0(p, ORDERS, None))
     lvl0 = timed("level0 (serialize + k3)", lvl0_j, point)
