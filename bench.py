@@ -82,6 +82,79 @@ def check_pallas_parity():
     return dict(pallas_fwd_err=fwd_err, pallas_grad_err=grad_err)
 
 
+def check_learning_dynamics():
+    """Tiny-flagship overfit smoke: GLS train loss must drop >=3x in 150
+    steps on learnable (spatial-quadrant) labels.
+
+    Guards the geometry/gradient substrate — a `2f480b2`-class neighbor-
+    table corruption stalls this immediately — so a correctness break can
+    never again ship behind green perf numbers (the round-3 bench scored
+    1.174x while the flagship could not learn). Counterpart of the
+    reference's integration testing = evaluation harness (SURVEY §4)."""
+    from cdsegnet_tpu.engine.optimizer import build_optimizer
+    from cdsegnet_tpu.engine.state import TrainState, make_train_step
+    from cdsegnet_tpu.models.losses import build_criteria
+
+    num_points, patch, depth, steps = 2048, 256, 8, 150
+    cfg = _flagship_cfg(num_points, patch, scale=4)
+    # shallow depths: the gate guards the geometry/gradient substrate
+    # (pyramid, neighbor tables, stem/xCPE gathers, losses), which is depth-
+    # independent — fewer blocks just cut the gate's compile time
+    cfg["backbone"] = dict(
+        cfg["backbone"], drop_path=0.0, num_classes=4,
+        capacity_div=(1, 2, 4, 8, 16),
+        n_enc_depths=(1, 1, 1, 2, 2), n_dec_depths=(1, 1, 1, 1),
+        c_enc_depths=(1, 1, 1), c_dec_depths=(1, 1),
+    )
+    cfg["num_classes"] = 4
+    model = build_model(cfg)
+    criteria = build_criteria(cfg["criteria"], loss_type="GLS", task_num=2)
+    point = _synthetic_point_batch(num_points, 2, depth=depth, seed=3)
+    # learnable labels: class = spatial (x, y) quadrant, features carry the
+    # class prototype (the tests/test_convergence.py recipe at bench scale)
+    gc = np.asarray(point.grid_coord)
+    mx, my = gc[:, 0].max() // 2, gc[:, 1].max() // 2
+    label = (gc[:, 0] > mx).astype(np.int32) * 2 + (gc[:, 1] > my).astype(np.int32)
+    rng = np.random.RandomState(0)
+    feat = (np.eye(4, 6, dtype=np.float32) * 2.0)[label]
+    feat += rng.randn(num_points, 6).astype(np.float32) * 0.05
+    batch = dict(
+        coord=np.asarray(point.coord),
+        grid_coord=gc.astype(np.int32),
+        feat=feat,
+        segment=np.where(np.asarray(point.mask), label, -1).astype(np.int32),
+        batch=np.asarray(point.batch),
+        mask=np.asarray(point.mask),
+    )
+    rngs = dict(
+        params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+        shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
+    tx = build_optimizer(
+        dict(type="AdamW", lr=2e-3, weight_decay=0.01),
+        variables["params"],
+        scheduler_cfg=dict(type="OneCycleLR", pct_start=0.1,
+                           div_factor=10.0, final_div_factor=100.0),
+        total_steps=steps,
+    )
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, criteria, tx, depth, 2, mesh=None)
+    losses = []
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+        losses.append(metrics["loss"])
+    losses = [float(x) for x in losses]
+    first, last = float(np.mean(losses[:5])), float(np.mean(losses[-10:]))
+    dropped = int(np.asarray(metrics.get("dropped_l1", 0)))
+    if not np.isfinite(last) or last > first / 3.0:
+        raise RuntimeError(
+            f"learning-dynamics gate FAILED: loss {first:.3f} -> {last:.3f} "
+            f"over {steps} steps (needs >=3x descent; dropped_l1={dropped})"
+        )
+    return dict(learn_loss_first=round(first, 3), learn_loss_last=round(last, 3))
+
+
 def main():
     import os
 
@@ -99,6 +172,11 @@ def main():
         _note("pallas parity check...")
         parity = check_pallas_parity()
         _note(f"parity ok: {parity}")
+    if not os.environ.get("BENCH_SKIP_LEARNING"):
+        _note("learning-dynamics gate (150-step tiny overfit)...")
+        t0 = time.time()
+        parity.update(check_learning_dynamics())
+        _note(f"learning ok in {time.time()-t0:.1f}s: {parity}")
 
     model = build_model(cfg)
     point = _synthetic_point_batch(num_points, 1, depth=10, seed=0)
@@ -136,6 +214,19 @@ def main():
     jax.block_until_ready(g)
     geom_compile_s = time.time() - t0
     _note(f"geometry compile {geom_compile_s:.1f}s; ssi compile...")
+
+    # overflow gate: the pyramid must drop (almost) nothing on the bench
+    # batch, or the timing exercises a degraded model / the slow sorted
+    # fallback instead of the parity path (reference never drops points,
+    # `point_transformer_v3m1_base.py:431-555`)
+    drops = [int(np.asarray(lvl.dropped)) for lvl in g[0][1:]]
+    _note(f"pyramid dropped per level: {drops} of {n_real} valid points")
+    if any(d > max(1, n_real // 1000) for d in drops):
+        raise RuntimeError(
+            f"pyramid overflow on bench batch: {drops} of {n_real} points "
+            f"dropped (>0.1% at some level) — capacities or synthetic data "
+            f"are wrong; the benched model would be degraded"
+        )
     t0 = time.time()
     out = ssi(variables, point, noise, g)
     _ = float(jnp.sum(out))
@@ -162,6 +253,7 @@ def main():
         init_s=round(init_s, 1),
         compile_s=round(compile_s, 1),
         device=str(jax.devices()[0]),
+        pyramid_dropped=drops,
         **parity,
     )
 

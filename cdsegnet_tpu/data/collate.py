@@ -13,13 +13,22 @@ leading axis to shard with `shard_map`.
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 
 def mix3d(scenes: List[Dict], rng: np.random.Generator, mix_prob: float = 0.8):
-    """Merge consecutive scene pairs with probability ``mix_prob``."""
+    """Merge consecutive scene pairs with probability ``mix_prob``.
+
+    Coincident voxels of the two merged scenes are deduplicated
+    (first-wins, like re-running GridSample on the union): the jitted
+    neighbor-table builds require voxels unique per scene
+    (`structure.exact_match_lookup`'s contract), and the reference's
+    spconv hash likewise keeps one winner per coincident voxel.
+    """
     if len(scenes) > 1 and rng.random() < mix_prob:
         merged = []
         for i in range(0, len(scenes) - 1, 2):
@@ -29,6 +38,17 @@ def mix3d(scenes: List[Dict], rng: np.random.Generator, mix_prob: float = 0.8):
                 for k in a.keys()
                 if k in b and hasattr(a[k], "ndim")
             }
+            if "grid_coord" in m:
+                _, first = np.unique(
+                    m["grid_coord"], axis=0, return_index=True
+                )
+                if len(first) < len(m["grid_coord"]):
+                    keep = np.sort(first)
+                    m = {
+                        k: v[keep] if v.shape[:1] == m["grid_coord"].shape[:1]
+                        else v
+                        for k, v in m.items()
+                    }
             merged.append(m)
         if len(scenes) % 2 == 1:
             merged.append(scenes[-1])
@@ -107,6 +127,12 @@ def collate_scenes(
         out["instance"] = instance
         out["instance_centroid"] = centroid
     out.update(extras)
+    if os.environ.get("CDSEG_VALIDATE"):
+        # loud fence for the unique-voxels-per-scene contract the jitted
+        # neighbor-table builds trust (structure.exact_match_lookup)
+        from cdsegnet_tpu.models.structure import assert_unique_voxels
+
+        assert_unique_voxels(grid, batch, mask, where="collate_scenes")
     return out
 
 

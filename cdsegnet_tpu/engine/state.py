@@ -143,6 +143,19 @@ def _build_grad_step(apply_loss, tx, mesh):
     return jax.jit(smapped, donate_argnums=(0,))
 
 
+def _find_sown(tree, name):
+    """First sow'd value named ``name`` in a nested intermediates dict
+    (sow stores values under the owning submodule's path, as 1-tuples)."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == name:
+                return v[0] if isinstance(v, tuple) else v
+            found = _find_sown(v, name)
+            if found is not None:
+                return found
+    return None
+
+
 def make_train_step(
     model,
     criteria: Criteria,
@@ -171,13 +184,28 @@ def make_train_step(
                 point,
                 train=True,
                 rngs=rngs,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "intermediates"],
                 **model_kwargs,
             )
+            # surface sow'd diagnostics (e.g. the backbone's per-level
+            # pyramid overflow counts) as metrics without touching the
+            # model's return signature
+            drops = _find_sown(mutated.get("intermediates", {}),
+                               "pyramid_dropped")
+            if drops is not None:
+                out = dict(out, pyramid_dropped=drops)
             loss = criteria(out, mode="train")
             return loss, (out, mutated["batch_stats"])
 
-        return loss_fn, lambda out: dict(valid_points=jnp.sum(point.mask))
+        def extra_metrics(out):
+            m = dict(valid_points=jnp.sum(point.mask))
+            if "pyramid_dropped" in out:
+                drops = out["pyramid_dropped"]
+                for i in range(drops.shape[0]):
+                    m[f"dropped_l{i + 1}"] = drops[i]
+            return m
+
+        return loss_fn, extra_metrics
 
     return _build_grad_step(apply_loss, tx, mesh)
 

@@ -180,6 +180,27 @@ class Trainer:
         for h in self.hooks:
             getattr(h, name)()
 
+    def _warn_on_overflow(self, metrics):
+        """Loud warning when pyramid pooling dropped >0.1% of valid points
+        at any level (the reference's ragged pooling never drops a point;
+        static capacities are sized so real scans never overflow — see
+        `PointTransformerV3.capacity_div`). Throttled to 5 warnings/run."""
+        if getattr(self, "_overflow_warned", 0) >= 5:
+            return
+        valid = metrics.get("valid_points", 0.0)
+        bad = {
+            k: int(v) for k, v in metrics.items()
+            if k.startswith("dropped_l") and v > max(1.0, valid / 1000.0)
+        }
+        if bad:
+            self._overflow_warned = getattr(self, "_overflow_warned", 0) + 1
+            self.logger.warning(
+                f"pyramid capacity overflow: {bad} of {int(valid)} valid "
+                f"points dropped this step (>0.1%); coarse levels are "
+                f"degraded and neighbor tables fell back to the sorted "
+                f"build — raise capacity_div or the point bucket"
+            )
+
     def _select_train_step(self, ds_idx):
         """Default: one step for all batches. ``MultiDatasetTrainer``
         overrides to pick a per-condition specialization."""
@@ -189,6 +210,7 @@ class Trainer:
         self._call_hooks("before_train")
         depth = self.cfg.get("serialization_depth", 16)
         num_scenes = self.cfg.get("scenes_per_device", 2)
+        self._overflow_warned = 0
         for self.epoch in range(self.start_epoch, self.max_epoch):
             self._call_hooks("before_epoch")
             for self.step_in_epoch, batch in enumerate(
@@ -205,6 +227,7 @@ class Trainer:
                 self.comm_info["metrics"] = {
                     k: float(v) for k, v in metrics.items()
                 }
+                self._warn_on_overflow(self.comm_info["metrics"])
                 self._call_hooks("after_step")
             self._call_hooks("after_epoch")
         self._call_hooks("after_train")

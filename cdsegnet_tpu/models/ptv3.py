@@ -828,6 +828,17 @@ class PointTransformerV3(nn.Module):
             )
             levels, stem_nbr = self._pyramid(n_point, shuffle_key)
         deterministic = not train
+        if len(levels) > 1 and levels[1].dropped is not None:
+            # per-level overflow counts (points lost to the trash slot when
+            # pooling into each level). The reference never drops points
+            # (`SerializedPooling`, `point_transformer_v3m1_base.py:431-555`);
+            # non-zero counts mean static capacities were exceeded — surfaced
+            # as train metrics by `engine.state.make_train_step` and gated in
+            # `bench.py`.
+            self.sow(
+                "intermediates", "pyramid_dropped",
+                jnp.stack([lvl.dropped for lvl in levels[1:]]),
+            )
 
         # ---- t embedding MLP (reference `:1594-1599,1771-1778`) ----
         if self.condition and self.t_dim != -1 and t_emb is not None:

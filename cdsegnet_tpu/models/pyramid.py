@@ -45,6 +45,13 @@ class Level:
     pool_valid: Optional[jnp.ndarray] = None  # (Mp,) contribution validity
     parent_inverse: Optional[jnp.ndarray] = None  # (Mp,) parent -> slot
     parent_head: Optional[jnp.ndarray] = None  # (M,) head parent index
+    # scalar int32: number of VALID parent points routed to the overflow
+    # slot when pooling into this level (0 on level 0). The reference's
+    # ragged pooling never drops a point (`SerializedPooling`,
+    # `point_transformer_v3m1_base.py:431-555`); a non-zero count here means
+    # the static capacity was exceeded and those points are absent from this
+    # and every coarser level.
+    dropped: Optional[jnp.ndarray] = None
 
     @property
     def size(self) -> int:
@@ -100,6 +107,8 @@ def build_pooled_level(
     seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
     mask_sorted = pp.mask[sort0]
     valid = mask_sorted & (seg < m - 1)
+
+    dropped = jnp.sum(mask_sorted & (seg >= m - 1)).astype(jnp.int32)
 
     first_pos = seg_ops.segment_first_position(seg_c, m)
     head_parent = jnp.take(sort0, first_pos)  # (M,) parent index of head
@@ -184,6 +193,7 @@ def build_pooled_level(
         pool_valid=valid,
         parent_inverse=parent_inverse,
         parent_head=head_parent,
+        dropped=dropped,
     )
 
 
@@ -226,6 +236,7 @@ def build_metric_level(
     seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
     mask_sorted = jnp.take(pp.mask, sort0)
     valid = mask_sorted & (seg < m - 1)
+    dropped = jnp.sum(mask_sorted & (seg >= m - 1)).astype(jnp.int32)
 
     first_pos = seg_ops.segment_first_position(seg_c, m)
     head_parent = jnp.take(sort0, first_pos)
@@ -260,6 +271,7 @@ def build_metric_level(
         pool_valid=valid,
         parent_inverse=parent_inverse,
         parent_head=head_parent,
+        dropped=dropped,
     )
 
 
@@ -294,7 +306,19 @@ def build_pyramid(
     coarsest level pays a sorted `exact_match_lookup`; every finer level's
     k3 (and level 0's k5 stem) table comes from the exact multigrid parity
     gather (`structure.parity_neighbor_table`) through the stride-2 child it
-    just built — no full-resolution code sorts anywhere.
+    just built — no full-resolution code sorts anywhere. Tables are exact
+    even under cluster-capacity overflow: the parity chain is only valid
+    when NO pooling dropped a point (parity lookups are blind to overflowed
+    points/blocks — the round-3 `2f480b2` regression silently corrupted
+    fine-level neighborhoods and stalled training), so ONE top-level
+    `lax.cond` on the summed `Level.dropped` switches the whole phase
+    between the parity chain and the sorted exact builds. Both branches
+    compile, only one runs; a single cond keeps compile time bounded —
+    per-level conds nested with in-builder duplicate-check conds
+    instantiated ~20 multi-million-word sort programs and blew the
+    geometry trace from 3.5 s to ~9 min of XLA time (measured round 4).
+    A mixed-stride ladder (no current caller uses one) takes the sorted
+    builds unconditionally: parity needs an unbroken stride-2 chain.
     """
     from cdsegnet_tpu.models.structure import (
         K3_FROM_K5_COLS,
@@ -315,7 +339,9 @@ def build_pyramid(
             )
         )
 
-    # Phase 2: neighbor tables, coarse -> fine.
+    # Phase 2: neighbor tables, coarse -> fine. The coarsest level always
+    # pays one (tiny, ~n0/prod(divisors)) sorted build — it seeds the parity
+    # chain and is identical in both cond branches, so it lives outside.
     last = levels[-1].point
     levels[-1] = levels[-1].replace(
         point=last.replace(
@@ -325,41 +351,78 @@ def build_pyramid(
             )
         )
     )
-    stem_nbr = None
-    for lv in range(len(levels) - 2, -1, -1):
-        pt = levels[lv].point
-        child = levels[lv + 1]
-        want_k5 = lv == 0 and stem_kernel == 5
-        if strides[lv] == 2:
-            table = parity_neighbor_table(
-                pt.grid_coord, pt.mask, pt.depth,
-                child.parent_inverse, child.point.neighbor_idx,
-                kernel_size=5 if want_k5 else 3,
-            )
-            if want_k5:
-                stem_nbr = table
-                table = table[:, jnp.asarray(K3_FROM_K5_COLS)]
-        else:  # non-stride-2 pair: sorted lookup fallback
-            table = build_neighbor_table(
-                pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
-                kernel_size=3, num_scenes=pt.num_scenes,
-            )
-            if want_k5:
-                stem_nbr = build_k5_shell_table(
-                    pt.grid_coord, pt.batch, pt.mask, table,
-                    depth=pt.depth, num_scenes=pt.num_scenes,
-                )
-        levels[lv] = levels[lv].replace(point=pt.replace(neighbor_idx=table))
+    n_pool = len(levels) - 1
+    want_k5 = stem_kernel == 5
 
-    if stem_nbr is None:
+    def _sorted_tables(levels, n_pool, want_k5):
+        """Per-level sorted exact builds, fine-level k5 stem included.
+        Exact regardless of overflow — the pre-parity (`ea414dd`) path."""
+        tables = []
+        for lv in range(n_pool - 1, -1, -1):
+            pt = levels[lv].point
+            tables.append(
+                build_neighbor_table(
+                    pt.grid_coord, pt.batch, pt.mask, depth=pt.depth,
+                    kernel_size=3, num_scenes=pt.num_scenes,
+                )
+            )
+        stem = tables[-1]
+        if want_k5:
+            p0 = levels[0].point
+            stem = build_k5_shell_table(
+                p0.grid_coord, p0.batch, p0.mask, tables[-1],
+                depth=p0.depth, num_scenes=p0.num_scenes,
+            )
+        return tuple(tables), stem
+
+    if n_pool and all(s == 2 for s in strides):
+
+        def _parity_chain(child_tbl):
+            tables = []
+            stem = None
+            for lv in range(n_pool - 1, -1, -1):
+                pt = levels[lv].point
+                child = levels[lv + 1]
+                k = 5 if (want_k5 and lv == 0) else 3
+                tbl = parity_neighbor_table(
+                    pt.grid_coord, pt.mask, pt.depth,
+                    child.parent_inverse, child_tbl, kernel_size=k,
+                )
+                if k == 5:
+                    stem = tbl
+                    tbl = tbl[:, jnp.asarray(K3_FROM_K5_COLS)]
+                tables.append(tbl)
+                child_tbl = tbl
+            return tuple(tables), tables[-1] if stem is None else stem
+
+        def _sorted_fallback(child_tbl):
+            del child_tbl
+            return _sorted_tables(levels, n_pool, want_k5)
+
+        total_dropped = sum(levels[i].dropped for i in range(1, len(levels)))
+        tables, stem_nbr = jax.lax.cond(
+            total_dropped > 0,
+            _sorted_fallback,
+            _parity_chain,
+            levels[-1].point.neighbor_idx,
+        )
+    elif n_pool:  # mixed strides: sorted everywhere, no cond
+        tables, stem_nbr = _sorted_tables(levels, n_pool, want_k5)
+    else:  # no pooling at all: level 0 IS the coarsest level built above
         p0 = levels[0].point
         stem_nbr = (
             p0.neighbor_idx
-            if stem_kernel == 3
-            else build_neighbor_table(
-                point.grid_coord, point.batch, point.mask, depth=point.depth,
-                kernel_size=stem_kernel, num_scenes=point.num_scenes,
+            if not want_k5
+            else build_k5_shell_table(
+                p0.grid_coord, p0.batch, p0.mask, p0.neighbor_idx,
+                depth=p0.depth, num_scenes=p0.num_scenes,
             )
+        )
+        return levels, stem_nbr
+
+    for i, lv in enumerate(range(n_pool - 1, -1, -1)):
+        levels[lv] = levels[lv].replace(
+            point=levels[lv].point.replace(neighbor_idx=tables[i])
         )
     return levels, stem_nbr
 

@@ -121,6 +121,39 @@ def make_point_batch(
     )
 
 
+def assert_unique_voxels(grid_coord, batch, mask, where: str = "") -> None:
+    """Host-side check of the GridSample invariant: voxels unique per scene.
+
+    The jitted neighbor-table builds TRUST this invariant (see
+    `exact_match_lookup`'s ``max_run`` contract and the mirror halving in
+    `build_neighbor_table`); violated, they return silently-missing
+    neighbors. An in-jit check would force a `lax.cond` fallback that
+    explodes XLA compile time, so the invariant is enforced here, at the
+    data boundary: the input pipeline calls this per batch under
+    ``CDSEG_VALIDATE=1`` and the test suite calls it on every fixture.
+    Raises ``ValueError`` naming the offending scene. No-op on traced
+    arguments (cannot run under jit).
+    """
+    import numpy as np
+
+    if any(isinstance(x, jax.core.Tracer) for x in (grid_coord, batch, mask)):
+        return
+    gc = np.asarray(grid_coord)
+    bt = np.asarray(batch)
+    mk = np.asarray(mask).astype(bool)
+    rows = np.concatenate([bt[mk, None], gc[mk]], axis=1)
+    uniq, counts = np.unique(rows, axis=0, return_counts=True)
+    if (counts > 1).any():
+        worst = uniq[np.argmax(counts)]
+        raise ValueError(
+            f"duplicate voxels{' in ' + where if where else ''}: "
+            f"{int((counts > 1).sum())} voxel(s) occupied by multiple points "
+            f"(worst: scene {worst[0]} voxel {tuple(worst[1:])} x"
+            f"{int(counts.max())}). Neighbor tables require unique voxels "
+            f"per scene (the GridSample invariant) — deduplicate upstream."
+        )
+
+
 def serialize(
     point: PointBatch,
     orders: Tuple[str, ...] = ("z", "z-trans", "hilbert", "hilbert-trans"),
@@ -250,13 +283,25 @@ def exact_match_lookup(
     query, an in-register equality check, and one scatter. No per-element
     post-sort gathers (XLA lowers those to latency-bound scalar loads).
 
-    ``max_run``: when the caller guarantees that at most ``max_run``
+    ``max_run``: when the caller GUARANTEES that at most ``max_run``
     consecutive sorted elements share one code (keys unique per code and a
-    bounded number of equal queries — true for the neighbor-table builds,
-    where a voxel is queried by at most #kernel-offsets origins), the key
-    propagation uses a log2(max_run) shifted-max cascade instead of a full
-    cumulative scan; exactness is unchanged because a query's matching key
-    is always the head of its own equal-code run.
+    bounded number of equal queries — the neighbor-table invariant: voxels
+    are unique per scene after GridSample, and a voxel is queried by at
+    most #kernel-offsets origins), the key propagation uses a
+    log2(max_run) shifted-max cascade instead of a full cumulative scan;
+    exactness is unchanged because a query's matching key is always the
+    head of its own equal-code run.
+
+    CONTRACT: the bound is trusted, not checked — a violated invariant
+    (duplicate voxels stretching an equal-code run past the bound) yields
+    silently-missing matches. A runtime check would need a `lax.cond`
+    compiling the full-scan fallback alongside every bounded caller, which
+    measurably explodes XLA compile time at neighbor-table sizes (the
+    round-4 geometry trace went 3.5 s -> ~9 min with nested fallback
+    conds). The invariant is instead enforced at the data boundary:
+    `assert_unique_voxels` (host-side, used by the data pipeline under
+    ``CDSEG_VALIDATE=1`` and by the test suite) fails loudly on duplicated
+    voxels before they can reach a jitted table build.
     """
     nk, nq = keys.shape[0], queries.shape[0]
     idx_bits = max((nk + nq - 1).bit_length(), (missing + 1).bit_length())
@@ -330,6 +375,16 @@ def build_neighbor_table(
     enumeration satisfies ``offs[K-1-t] = -offs[t]``), so only the first
     half of the offsets is queried — the other half is one scatter. Sorting
     is the dominant cost of the table build; this halves the sorted volume.
+
+    CONTRACT: voxels must be unique per scene (the GridSample invariant,
+    reference `transform.py:830-850`; pooled pyramid levels satisfy it by
+    construction — clusters of distinct coarse codes). Both the mirror
+    halving and `exact_match_lookup`'s run bound rest on it; duplicated
+    voxels would produce silently-missing neighbors. The invariant is
+    enforced host-side at the data boundary by `assert_unique_voxels`
+    (always in the test suite; in the input pipeline under
+    ``CDSEG_VALIDATE=1``) — an in-jit check was measured to explode XLA
+    compile time via the `lax.cond` fallback it implies.
     """
     n = grid_coord.shape[0]
     offs = kernel_offsets(kernel_size)  # (K, 3)
@@ -426,6 +481,10 @@ def build_k5_shell_table(
     neighbors on ScanNet-like surfaces (see tools/fidelity_ablations.py) —
     the reference's spconv stem is exact
     (`point_transformer_v3m1_base.py:646-663`).
+
+    Same unique-voxels-per-scene CONTRACT as `build_neighbor_table` (the
+    mirror halving and the run bound rest on it); enforced host-side by
+    `assert_unique_voxels`, never in-jit.
     """
     global _K5_MAPS
     if _K5_MAPS is None:
@@ -498,7 +557,11 @@ def build_cluster_members(
     Unique per slot because voxels are unique per scene and a stride-2
     cluster holds at most one voxel of each parity. Parents of the overflow
     cluster (slot m-1, always invalid by the pyramid convention) are
-    excluded — they are already dropped from every coarser level.
+    excluded — many blocks can share that slot, so any scatter into it
+    would alias arbitrary blocks. This makes the parity lookup blind to
+    overflowed points; `build_pyramid` therefore only takes the parity path
+    when NO pooled level dropped anything (one top-level `lax.cond` on the
+    summed `Level.dropped`).
     """
     n = grid_coord.shape[0]
     row = jnp.where(mask & (parent_inverse < m - 1), parent_inverse, m)
@@ -554,8 +617,18 @@ def parity_neighbor_table(
     child level's cluster structure — row gathers + static selects, no sort.
 
     Replaces `build_neighbor_table` / `build_k5_shell_table` whenever a
-    stride-2 pooled child exists (the TPU answer to spconv's per-layer GPU
-    hash builds, reference `point_transformer_v3m1_base.py:355-365,646-663`).
+    stride-2 pooled child exists AND that child dropped no point to its
+    overflow slot (the TPU answer to spconv's per-layer GPU hash builds,
+    reference `point_transformer_v3m1_base.py:355-365,646-663`). Under
+    overflow this lookup is one-sidedly wrong (false "missing": dropped
+    parents lose their rows and dropped child blocks hide their parents),
+    so `build_pyramid` guards the whole parity chain with ONE top-level
+    `lax.cond` on the summed `Level.dropped` and falls back to the sorted
+    exact builds. It also assumes unique voxels per scene (the member
+    table is a (block, parity) -> parent bijection):
+    guaranteed at pooled levels by construction and at level 0 by the
+    GridSample contract; duplicated level-0 voxels alias to one
+    representative per voxel (coordinate-correct, feature-approximate).
 
     Cost shape matters on TPU: per-element dynamic gathers lower to
     scalar-granularity HBM loads (measured ~12x slower than row gathers —

@@ -71,9 +71,11 @@ def test_tiny_flagship_overfit():
         shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
     )
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
-    # the train loss bottoms out by ~step 200, but the SSI inference path
-    # (pure-noise c-input + BN running stats) catches up later: measured
-    # mIoU 0.28@300 -> 0.86@500 -> 1.00@600 on this setup
+    # the train loss bottoms out early, but the SSI inference path
+    # (pure-noise c-input + BN running stats at momentum 0.01) catches up a
+    # few hundred steps later; measured at round-4 HEAD: loss 2.15 ->
+    # 0.00097 @700, SSI mIoU 0.98 (this fixture overflows pyramid levels
+    # 1-2 — dropped_l1/l2 = 102/64 — exercising the sorted-fallback path)
     steps = 700
     tx = build_optimizer(
         dict(type="AdamW", lr=2e-3, weight_decay=0.01),
@@ -109,4 +111,113 @@ def test_tiny_flagship_overfit():
         union[c] = (gt | pd).sum()
     present = union > 0
     miou = float((inter[present] / union[present]).mean())
+    assert miou >= 0.9, (miou, losses[-5:])
+
+
+def _overfit(model, criteria, batch, steps, lr=2e-3, num_scenes=2):
+    """Shared tiny-overfit loop: returns (first, last) mean losses and the
+    train-split mIoU through the eval path."""
+    point = batch_to_point(
+        {k: np.asarray(v) for k, v in batch.items()}, DEPTH, num_scenes
+    )
+    rngs = dict(
+        params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
+        shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
+    )
+    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
+    tx = build_optimizer(
+        dict(type="AdamW", lr=lr, weight_decay=0.01),
+        variables["params"],
+        scheduler_cfg=dict(type="OneCycleLR", pct_start=0.1,
+                           div_factor=10.0, final_div_factor=100.0),
+        total_steps=steps,
+    )
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, criteria, tx, DEPTH, num_scenes, mesh=None)
+    losses = []
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+        losses.append(metrics["loss"])
+    losses = [float(x) for x in losses]
+    first = float(np.mean(losses[:5]))
+    last = float(np.mean(losses[-10:]))
+
+    eval_fn = make_eval_step(model, None, DEPTH, num_scenes)
+    out = eval_fn(state, batch, jax.random.PRNGKey(9))
+    pred = np.asarray(out["seg_logits"]).argmax(-1)
+    seg = np.asarray(batch["segment"])
+    valid = np.asarray(batch["mask"]) & (seg >= 0)
+    inter = np.zeros(NUM_CLASSES)
+    union = np.zeros(NUM_CLASSES)
+    for c in range(NUM_CLASSES):
+        gt = (seg == c) & valid
+        pd = (pred == c) & valid
+        inter[c] = (gt & pd).sum()
+        union[c] = (gt | pd).sum()
+    present = union > 0
+    miou = float((inter[present] / union[present]).mean())
+    return first, last, miou, losses
+
+
+@pytest.mark.slow
+def test_tiny_ptv3_plain_overfit():
+    """Plain single-branch PTv3 (CE + Lovász only, no diffusion) overfits
+    the tiny split — learning evidence for the `condition=False` path the
+    reference's PTv3 baseline uses (`README.md:169`)."""
+    from test_model import TINY_BACKBONE
+
+    rng = np.random.RandomState(0)
+    scenes = [_scene(rng, 120), _scene(rng, 110)]
+    batch = collate_scenes(scenes, num_points=256, num_scenes=2)
+    batch = {k: v for k, v in batch.items() if v is not None}
+
+    bb = dict(TINY_BACKBONE, drop_path=0.0, num_classes=NUM_CLASSES,
+              condition=False)
+    model = build_model(
+        dict(type="DefaultSegmentor", backbone=bb, num_classes=NUM_CLASSES)
+    )
+    criteria = build_criteria(
+        [dict(type="CrossEntropyLoss", loss_weight=1.0),
+         dict(type="LovaszLoss", loss_weight=1.0)],
+        loss_type="EW",
+    )
+    # 700 steps like the flagship test: the eval path reads BN *running*
+    # stats (reference momentum 0.01), which lag the train-mode batch stats
+    # by several hundred steps (mIoU 0.70@400 measured)
+    first, last, miou, losses = _overfit(model, criteria, batch, steps=700)
+    assert np.isfinite(last)
+    assert last < first / 5.0, (first, last)
+    assert miou >= 0.9, (miou, losses[-5:])
+
+
+@pytest.mark.slow
+def test_tiny_ptv2_overfit():
+    """PTv2 (grouped vector attention on the metric GridPool pyramid)
+    overfits the tiny split — learning evidence for the zoo's kNN path
+    (reference `point_transformer_v2m2_base.py`), whose fidelity closures
+    previously had only forward/parity tests."""
+    rng = np.random.RandomState(0)
+    scenes = [_scene(rng, 120), _scene(rng, 110)]
+    batch = collate_scenes(scenes, num_points=256, num_scenes=2)
+    batch = {k: v for k, v in batch.items() if v is not None}
+
+    bb = dict(
+        type="PT-v2m2", in_channels=6, num_classes=NUM_CLASSES,
+        patch_embed_channels=8, patch_embed_groups=2,
+        enc_channels=(16, 32), enc_depths=(1, 1), enc_groups=(4, 8),
+        dec_channels=(16, 16), dec_depths=(1, 1), dec_groups=(4, 4),
+        k_neighbors=8, capacity_div=(1, 2, 4),
+        grid_sizes=(0.12, 0.24),
+    )
+    model = build_model(
+        dict(type="DefaultSegmentor", backbone=bb, num_classes=NUM_CLASSES)
+    )
+    criteria = build_criteria(
+        [dict(type="CrossEntropyLoss", loss_weight=1.0),
+         dict(type="LovaszLoss", loss_weight=1.0)],
+        loss_type="EW",
+    )
+    first, last, miou, losses = _overfit(model, criteria, batch, steps=400)
+    assert np.isfinite(last)
+    assert last < first / 5.0, (first, last)
     assert miou >= 0.9, (miou, losses[-5:])

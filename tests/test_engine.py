@@ -72,6 +72,20 @@ def test_shipped_configs_load():
     assert tuple(cnf.model.backbone.n_enc_depths) == (2, 2, 2, 6, 2)
     assert cnf.model.noise_schedule == "linear"
     assert cnf.model.beta_end == 0.0005
+    ncnf = Config.fromfile("configs/nuscenes/ptv3_cnf.py")
+    assert tuple(ncnf.model.backbone.n_enc_depths) == (2, 2, 2, 6, 2)
+    assert (ncnf.model.beta_start, ncnf.model.beta_end) == (0.002, 0.003)
+    # timing-protocol configs (reference CDSegNet_time.py:262,278): one
+    # fragment per scene + no TTA, everything else inherited unchanged
+    for f in (
+        "configs/scannet/cdsegnet_time.py",
+        "configs/scannet/ptv3_cnf_time.py",
+        "configs/nuscenes/cdsegnet_time.py",
+    ):
+        t = Config.fromfile(f)
+        assert t.data.test.test_cfg.voxelize.grid_size == 0.0001, f
+        assert t.data.test.test_cfg.aug_transform == [], f
+        assert t.model.backbone.type == "PT-v3m1", f
 
 
 @pytest.mark.slow

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cdsegnet_tpu.models import pyramid as pyr
 from cdsegnet_tpu.models.structure import build_neighbor_table, kernel_offsets, serialize
@@ -216,32 +217,59 @@ def test_parity_tables_match_sorted_builders(rng):
     np.testing.assert_array_equal(np.asarray(stem), np.asarray(want5))
 
 
-def test_parity_tables_overflow_rows_go_missing(rng):
-    """Points dropped by cluster overflow (the always-invalid trash slot) get
-    all-missing table rows; everyone else stays exact."""
+def test_tables_exact_under_overflow(rng):
+    """Cluster-capacity overflow must NOT corrupt neighbor tables: when a
+    stride-2 child level drops points, `build_pyramid` falls back to the
+    sorted exact build (`lax.cond` on `Level.dropped`) and every level's
+    table — including the k5 stem — matches the sorted ground truth bit for
+    bit. Guards against the round-3 `2f480b2` regression, where the parity
+    gather silently lost overflowed points' whole neighborhoods and stalled
+    flagship training."""
+    pt = synthetic_batch(rng, counts=(150,), num_points=256, depth=6)
+    levels, stem = pyr.build_pyramid(
+        pt, strides=(2, 2), capacities=(64, 64), orders=ORDERS,
+        shuffle_key=None, stem_kernel=5,
+    )
+    assert int(levels[1].dropped) > 0  # capacity 64 must overflow 150 points
+    for lvl in levels:
+        p = lvl.point
+        want = build_neighbor_table(
+            p.grid_coord, p.batch, p.mask, depth=p.depth, kernel_size=3,
+            num_scenes=p.num_scenes,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p.neighbor_idx), np.asarray(want)
+        )
+    want5 = build_neighbor_table(
+        pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=5
+    )
+    np.testing.assert_array_equal(np.asarray(stem), np.asarray(want5))
+
+
+def test_dropped_counts(rng):
+    """Level.dropped equals the brute-force count of valid parents whose
+    cluster ranked at or beyond capacity-1 (the trash slot)."""
     pt = synthetic_batch(rng, counts=(150,), num_points=256, depth=6)
     levels, _ = pyr.build_pyramid(
         pt, strides=(2,), capacities=(64,), orders=ORDERS, shuffle_key=None,
         stem_kernel=3,
     )
-    l0, l1 = levels[0], levels[1]
-    got = np.asarray(l0.point.neighbor_idx)
-    n = pt.num_points
-    dropped = np.asarray(l1.parent_inverse) >= l1.size - 1
-    assert dropped.any()  # capacity 64 must overflow a 150-point scene
-    assert (got[dropped] == n).all()
-    want = np.asarray(
-        build_neighbor_table(
-            pt.grid_coord, pt.batch, pt.mask, depth=pt.depth, kernel_size=3
-        )
+    l1 = levels[1]
+    mask = np.asarray(pt.mask)
+    # cluster rank along the first sort order: clusters in ascending order
+    # of coarse code; those ranked >= 63 overflow
+    sort0 = np.asarray(l1.pool_sort)
+    keys = np.asarray(levels[0].point.codes[0] >> 3)[sort0]
+    seg = np.cumsum(np.concatenate([[0], (np.diff(keys) != 0).astype(int)]))
+    dropped_bf = int((mask[sort0] & (seg >= l1.size - 1)).sum())
+    assert dropped_bf > 0
+    assert int(l1.dropped) == dropped_bf
+    # generous capacity: nothing dropped
+    levels2, _ = pyr.build_pyramid(
+        pt, strides=(2,), capacities=(256,), orders=ORDERS, shuffle_key=None,
+        stem_kernel=3,
     )
-    keep = ~dropped & np.asarray(pt.mask)
-    # a kept point may still reference a dropped point -> missing; other
-    # entries agree with the exact table
-    agree = (got[keep] == want[keep]) | (
-        (got[keep] == n) & np.isin(want[keep], np.where(dropped)[0])
-    )
-    assert agree.all()
+    assert int(levels2[1].dropped) == 0
 
 
 def test_windowed_max_covers_run_bound():
@@ -289,6 +317,37 @@ def test_exact_match_lookup_bounded_run():
     lut = {int(k): i for i, k in enumerate(keys)}
     want = np.array([lut.get(int(q), nk) for q in queries])
     np.testing.assert_array_equal(bounded, want)
+
+
+def test_duplicate_voxels_fail_loudly(rng):
+    """Deliberately duplicated voxels (violating the GridSample uniqueness
+    invariant the neighbor tables' max_run bound and mirror halving rest on)
+    must fail LOUDLY, never silently: `assert_unique_voxels` — the
+    host-side data-boundary fence (an in-jit check implies a `lax.cond`
+    fallback that was measured to explode XLA compile time; see
+    `exact_match_lookup`'s contract) — raises naming the offending scene,
+    and clean data passes untouched."""
+    from cdsegnet_tpu.models.structure import assert_unique_voxels
+
+    pt = synthetic_batch(rng, counts=(60, 40), num_points=128)
+    # clean fixture: passes
+    assert_unique_voxels(pt.grid_coord, pt.batch, pt.mask)
+    gc = np.asarray(pt.grid_coord).copy()
+    # points 5..14 all collapse onto point 4's voxel (an equal-code run of
+    # 11 keys, far past the k3 run bound of 13+1)
+    gc[5:15] = gc[4]
+    with pytest.raises(ValueError, match="duplicate voxels"):
+        assert_unique_voxels(gc, pt.batch, pt.mask, where="test batch")
+    # duplicates hidden at padding slots don't count
+    gc2 = np.asarray(pt.grid_coord).copy()
+    mask = np.asarray(pt.mask)
+    pads = np.where(~mask)[0]
+    gc2[pads] = gc2[0]
+    assert_unique_voxels(gc2, pt.batch, pt.mask)
+    # no-op under trace (cannot host-check a tracer)
+    jax.jit(
+        lambda g, b, m: (assert_unique_voxels(g, b, m), g)[1]
+    )(jnp.asarray(gc), pt.batch, pt.mask)
 
 
 def test_blocked_cummax():
