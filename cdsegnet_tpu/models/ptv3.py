@@ -216,18 +216,26 @@ class _ScannedBlock(nn.Module):
     Equal-width block runs (e.g. the 6-deep n-encoder stages 3-4) differ only
     in curve index and stochastic-depth rate, so the stack compiles ONCE and
     iterates — per-depth ``(order_index, drop_rate)`` ride in as scanned
-    inputs, parameters get a leading depth axis."""
+    inputs, parameters get a leading depth axis.
+
+    The carry is the FEATURE array alone; the level's geometry (codes,
+    orders, neighbor tables, t_emb — all loop-invariant) rides in as an
+    `nn.broadcast` argument. `lax.scan`'s backward saves every carry per
+    iteration, so carrying the full PointBatch stored ~depth extra copies
+    of the (never-changing) geometry + t_emb as residuals — ~1.5 GB across
+    the flagship's 15 stages at the 104k train bucket, part of why the
+    scanned no-remat train step outgrew v5e HBM while the unrolled one fit."""
 
     block_kwargs: Any
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, point: PointBatch, order_index, drop_rate):
+    def __call__(self, feat, point: PointBatch, order_index, drop_rate):
         point = Block(**self.block_kwargs, name="block")(
-            point, self.deterministic,
+            point.replace(feat=feat), self.deterministic,
             order_index=order_index, drop_path_rate=drop_rate,
         )
-        return point, ()
+        return point.feat, ()
 
 
 class Embedding(nn.Module):
@@ -786,13 +794,13 @@ class PointTransformerV3(nn.Module):
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(0, 0),
+            in_axes=(nn.broadcast, 0, 0),
             length=depth,
         )(block_kwargs=bk, deterministic=deterministic, name=f"{name}s")
         oi = jnp.arange(depth, dtype=jnp.int32) % n_orders
         dr = jnp.asarray(np.asarray(dp_rates, np.float32))
-        point, _ = stack(point, oi, dr)
-        return point
+        feat, _ = stack(point.feat, point, oi, dr)
+        return point.replace(feat=feat)
 
     @nn.compact
     def __call__(

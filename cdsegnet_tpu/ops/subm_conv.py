@@ -14,8 +14,39 @@ in the same order as `kernel_offsets`; missing neighbors contribute zero
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.checkpoint, static_argnums=(3,))
+def _gather_matmul(feat, neighbor_idx, weight, accum_dtype):
+    """Neighbor gather + one MXU contraction, rematerialized in backward.
+
+    The gathered ``(N, K*C_in)`` operand is a residual of the weight grad
+    (``dW = g^T @ dout``); without remat it is stored bf16 across fwd+bwd —
+    54*N*C bytes per conv, ~4 GB across the flagship's 34 xCPE convs + k5
+    stem at the 104k train bucket, which is what pushed the round-3 no-remat
+    train step out of v5e HBM. `jax.checkpoint` re-runs the (cheap,
+    bandwidth-comparable-to-the-saved-read) gather in backward instead; the
+    unused forward matmul recompute is dead-code-eliminated by XLA.
+    """
+    n, c_in = feat.shape
+    k = neighbor_idx.shape[1]
+    c_out = weight.shape[2]
+    # One gather of all K offsets + one MXU matmul. A loop over offsets would
+    # serialize K small gathers (each HBM-latency-bound); the fused form lets
+    # XLA pipeline the gather and runs a single (N, K*C_in) @ (K*C_in, C_out)
+    # contraction at full MXU utilization. Missing neighbors carry index N,
+    # which the OOB-fill gather turns into zero rows (no guard-row concat or
+    # select pass).
+    g = jnp.take(
+        feat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
+    )  # (N*K, C_in)
+    g = g.reshape(n, k * c_in)
+    w = weight.reshape(k * c_in, c_out).astype(feat.dtype)
+    return jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat.dtype)
 
 
 def subm_conv_apply(
@@ -36,22 +67,9 @@ def subm_conv_apply(
     Returns:
       (N, C_out) in ``feat.dtype``.
     """
-    n, c_in = feat.shape
-    k = neighbor_idx.shape[1]
-    assert weight.shape[0] == k, (weight.shape, k)
-    c_out = weight.shape[2]
-    # One gather of all K offsets + one MXU matmul. A loop over offsets would
-    # serialize K small gathers (each HBM-latency-bound); the fused form lets
-    # XLA pipeline the gather and runs a single (N, K*C_in) @ (K*C_in, C_out)
-    # contraction at full MXU utilization. Missing neighbors carry index N,
-    # which the OOB-fill gather turns into zero rows (no guard-row concat or
-    # select pass).
-    g = jnp.take(
-        feat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
-    )  # (N*K, C_in)
-    g = g.reshape(n, k * c_in)
-    w = weight.reshape(k * c_in, c_out).astype(feat.dtype)
-    out = jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat.dtype)
+    assert weight.shape[0] == neighbor_idx.shape[1], (
+        weight.shape, neighbor_idx.shape)
+    out = _gather_matmul(feat, neighbor_idx, weight, accum_dtype)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out
@@ -72,14 +90,10 @@ def dual_subm_conv_apply(
     block-diagonal weight (offset-block `[Wa 0; 0 Wb]`). Halves the stem's
     HBM gather passes.
     """
-    n, ca = feat_a.shape
-    cb = feat_b.shape[1]
+    ca = feat_a.shape[1]
     k = neighbor_idx.shape[1]
-    coa, cob = weight_a.shape[2], weight_b.shape[2]
+    cb, coa, cob = feat_b.shape[1], weight_a.shape[2], weight_b.shape[2]
     cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
-    g = jnp.take(
-        cat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
-    ).reshape(n, k * (ca + cb))
     wa = weight_a.astype(feat_a.dtype)
     wb = weight_b.astype(feat_a.dtype)
     w = jnp.concatenate(
@@ -92,6 +106,6 @@ def dual_subm_conv_apply(
             ),
         ],
         axis=1,
-    ).reshape(k * (ca + cb), coa + cob)
-    out = jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat_a.dtype)
+    )
+    out = _gather_matmul(cat, neighbor_idx, w, accum_dtype)
     return out[:, :coa], out[:, coa:]

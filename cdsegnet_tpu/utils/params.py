@@ -1,0 +1,78 @@
+"""Parameter-layout conversion between unrolled and scanned block stacks.
+
+`PointTransformerV3` (and the zoo models that reuse `_run_blocks`) supports
+two layouts for equal-width block runs:
+
+- ``scan_blocks=False``: per-block submodules ``<stage>_block{i}`` — the
+  layout that trains fastest (no `lax.scan` residual stacks; the unrolled
+  no-remat train step fits v5e HBM at the 104k bucket where the scanned one
+  does not — measured round 4, tools/profile_train_mem.py);
+- ``scan_blocks=True``: one ``<stage>_blocks/block`` submodule whose params
+  carry a leading depth axis — ~10x faster fresh compile for inference
+  drivers (DESIGN.md §11).
+
+A checkpoint from one layout is mechanically convertible to the other:
+stack (resp. unstack) along the leading axis, in block order. Train with
+``scan_blocks=False``, convert, and serve with ``scan_blocks=True``.
+
+Reference counterpart: none — torch modules have a single layout; this is
+the price/benefit of `nn.scan` (SURVEY §2.2 backbone).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK_RE = re.compile(r"(.+_block)(\d+)$")
+
+
+def _convert(tree: Dict[str, Any], to_scanned: bool) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    groups: Dict[str, list] = {}
+    for k in sorted(tree):
+        v = tree[k]
+        m = _BLOCK_RE.fullmatch(k)
+        if to_scanned and m and (m.group(1) + "1") in tree:
+            groups.setdefault(m.group(1), []).append(k)
+            continue
+        if (
+            not to_scanned
+            and k.endswith("_blocks")
+            and isinstance(v, dict)
+            and set(v) == {"block"}
+        ):
+            depth = jax.tree_util.tree_leaves(v["block"])[0].shape[0]
+            for i in range(depth):
+                out[f"{k[:-1]}{i}"] = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i], v["block"]
+                )
+            continue
+        out[k] = (
+            _convert(v, to_scanned)
+            if isinstance(v, dict) and not m
+            else v
+        )
+    for prefix, keys in groups.items():
+        keys.sort(key=lambda k: int(k[len(prefix):]))
+        out[prefix + "s"] = {
+            "block": jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[tree[k] for k in keys]
+            )
+        }
+    return out
+
+
+def restack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Unrolled (``<stage>_block{i}``) -> scanned (``<stage>_blocks/block``
+    with a leading depth axis). Single-block stages (no ``_block1`` sibling)
+    are left as-is — `_run_blocks` unrolls depth-1 runs in both modes."""
+    return _convert(params, to_scanned=True)
+
+
+def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Scanned -> unrolled (inverse of :func:`restack_block_params`)."""
+    return _convert(params, to_scanned=False)

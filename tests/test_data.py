@@ -78,15 +78,31 @@ def test_collate_and_mix3d(rng):
     scenes = []
     for i in range(4):
         n = 50 + i * 10
+        # unique voxels per scene (the GridSample invariant); scenes still
+        # overlap each other, so the merge has coincident voxels to dedupe
+        cells = rng.choice(16 ** 3, size=n, replace=False)
+        grid = np.stack(
+            [cells // 256, (cells // 16) % 16, cells % 16], axis=1
+        ).astype(np.int32)
         scenes.append(dict(
             coord=rng.rand(n, 3).astype(np.float32),
-            grid_coord=rng.randint(0, 16, size=(n, 3)).astype(np.int32),
+            grid_coord=grid,
             feat=rng.randn(n, 6).astype(np.float32),
             segment=rng.randint(0, 5, size=(n,)).astype(np.int32),
         ))
     mixed = mix3d(list(scenes), g, mix_prob=1.0)
     assert len(mixed) == 2  # pairs merged
-    assert mixed[0]["coord"].shape[0] == 50 + 60
+    # coincident voxels of the merged pair deduplicate first-wins (the
+    # neighbor-table contract: voxels unique per scene)
+    union = np.concatenate(
+        [scenes[0]["grid_coord"], scenes[1]["grid_coord"]]
+    )
+    n_unique = len(np.unique(union, axis=0))
+    assert mixed[0]["coord"].shape[0] == n_unique <= 50 + 60
+    m_grid = mixed[0]["grid_coord"]
+    assert len(np.unique(m_grid, axis=0)) == len(m_grid)
+    # first-wins: every scene-a point survives
+    assert (m_grid[:50] == scenes[0]["grid_coord"]).all()
     batch = collate_scenes(mixed, num_points=512, num_scenes=2)
     assert batch["coord"].shape == (512, 3)
     assert batch["mask"].sum() == sum(s["coord"].shape[0] for s in mixed)

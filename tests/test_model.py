@@ -234,8 +234,6 @@ def test_scan_blocks_equivalence(rng):
     compute exactly what the unrolled per-block modules compute: init the
     unrolled model, restack its per-block params into the scanned layout,
     and compare eval outputs bit-for-bit."""
-    import re
-
     from helpers import synthetic_batch
 
     pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
@@ -248,27 +246,27 @@ def test_scan_blocks_equivalence(rng):
     vu = jax.jit(lambda r, p: model_u.init(r, p, train=False))(RNGS, pt)
     vs = jax.jit(lambda r, p: model_s.init(r, p, train=False))(RNGS, pt)
 
-    # restack unrolled params: backbone/<stage>_block{i}/... -> stacked
-    # backbone/<stage>_blocks/block/...
-    bu = dict(vu["params"]["backbone"])
-    groups = {}
-    for k in sorted(bu):
-        m = re.fullmatch(r"(.+_block)(\d+)", k)
-        if m and int(m.group(2)) > 0 or (m and (m.group(1) + "1") in bu):
-            groups.setdefault(m.group(1), []).append(k)
-    restacked = dict(bu)
-    for prefix, keys in groups.items():
-        keys.sort(key=lambda k: int(k[len(prefix):]))
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[restacked.pop(k) for k in keys]
-        )
-        restacked[prefix + "s"] = {"block": stacked}
-    params_s = dict(vs["params"])
-    params_s["backbone"] = restacked
-    # structures must agree after restacking
-    jax.tree_util.tree_structure(params_s) == jax.tree_util.tree_structure(
-        dict(vs["params"])
+    # restack unrolled params via the library converter (the supported
+    # train-unrolled -> serve-scanned checkpoint path)
+    from cdsegnet_tpu.utils.params import (
+        restack_block_params,
+        unstack_block_params,
     )
+
+    params_s = restack_block_params(vu["params"])
+    assert jax.tree_util.tree_structure(params_s) == (
+        jax.tree_util.tree_structure(vs["params"])
+    )
+    # round-trip back to the unrolled layout is the identity
+    round_trip = unstack_block_params(params_s)
+    assert jax.tree_util.tree_structure(round_trip) == (
+        jax.tree_util.tree_structure(vu["params"])
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(round_trip),
+        jax.tree_util.tree_leaves(vu["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     variables = {"params": params_s, "batch_stats": vu["batch_stats"]}
 
     noise = jax.random.normal(jax.random.PRNGKey(7), (256, 6), jnp.float32)
