@@ -262,10 +262,17 @@ def main():
         try:
             train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
             t_remat = False
-        except Exception as e:  # HBM OOM -> remat retry (relay says INTERNAL)
-            if "RESOURCE_EXHAUSTED" not in str(e) and "out of memory" not in str(e).lower():
+        except Exception as e:
+            # HBM OOM -> remat retry. The relay surfaces runtime OOM as
+            # INTERNAL/RESOURCE_EXHAUSTED and compile-time OOM as an HTTP
+            # 500 from the compile helper — match all three.
+            s = str(e)
+            if not ("RESOURCE_EXHAUSTED" in s
+                    or "out of memory" in s.lower()
+                    or "tpu_compile_helper" in s):
                 raise
-            _note("train @104k OOM without remat; retrying with remat")
+            _note(f"train @104k OOM without remat ({s[:80]}); "
+                  "retrying with remat")
             train_pps, train_ms, train_compile_s = bench_train(
                 cfg, num_points, remat=True
             )
@@ -275,27 +282,23 @@ def main():
             train_step_ms=round(train_ms, 2),
             train_compile_s=round(train_compile_s, 1),
             train_remat=t_remat,
+            train_scan=os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0",
         )
 
     if not os.environ.get("BENCH_SKIP_RECIPE"):
         # the shipped recipe bucket: 2 x SphereCrop-102,400 points/chip
-        # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU)
+        # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU). Unrolled
+        # no-remat does NOT fit at this scale (~22 GB temp); go straight to
+        # the measured-best fitting variant (scan + dots_saveable remat,
+        # tools/bench_train_variants.py round 4) instead of burning a
+        # ~8-minute compile on a known OOM.
         recipe_points = 204800
         _note("train bench @204800 (recipe scale)...")
-        try:
-            r_pps, r_ms, r_compile = bench_train(
-                cfg, recipe_points, remat=False, iters=3
-            )
-            r_remat = False
-        except Exception as e:  # HBM OOM at this scale -> remat retry
-            # the remote-compile relay surfaces OOM as INTERNAL, not
-            # RESOURCE_EXHAUSTED — match the message too
-            if "RESOURCE_EXHAUSTED" not in str(e) and "out of memory" not in str(e).lower():
-                raise
-            r_pps, r_ms, r_compile = bench_train(
-                cfg, recipe_points, remat=True, iters=3
-            )
-            r_remat = True
+        r_pps, r_ms, r_compile = bench_train(
+            cfg, recipe_points, remat=True, iters=3, scan=True,
+            policy="dots_saveable",
+        )
+        r_remat = True
         extra.update({
             "train_points_per_sec_per_chip@204800": round(r_pps, 1),
             "train_step_ms@204800": round(r_ms, 2),
@@ -316,8 +319,17 @@ def main():
     )
 
 
-def bench_train(cfg, num_points, remat=None, iters=5):
-    """Full training step (fwd + bwd + AdamW, 2 scenes/bucket)."""
+def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None):
+    """Full training step (fwd + bwd + AdamW, 2 scenes/bucket).
+
+    Trains UNROLLED (``scan_blocks=False``) by default: `lax.scan` residual
+    stacks cannot be rematerialized across while-loop iterations by XLA, so
+    the scanned no-remat step needs 17.7 GB temp vs 10.7 GB unrolled at the
+    104k bucket (tools/profile_train_mem.py, round 4) — unrolled no-remat
+    fits v5e HBM and measured 74.6k pts/s vs 64.6k scan+remat
+    (tools/bench_train_variants.py). Checkpoints convert to the scanned
+    serving layout via `cdsegnet_tpu.utils.params.restack_block_params`.
+    """
     import optax  # noqa: F401
 
     from cdsegnet_tpu.engine.optimizer import build_optimizer
@@ -328,12 +340,15 @@ def bench_train(cfg, num_points, remat=None, iters=5):
 
     cfg = dict(cfg)
     # remat OFF by default: the 104k-point bucket's activations fit v5e HBM
-    # and the full-recompute remat costs ~17% train throughput (61.2k ->
-    # 71.8k points/s/chip measured); set CDSEG_REMAT=1 for larger buckets
+    # (unrolled + rematerialized conv gathers) and full-recompute remat costs
+    # ~14% train throughput; set CDSEG_REMAT=1 for larger buckets
     if remat is None:
         remat = os.environ.get("CDSEG_REMAT", "0") != "0"
-    cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat)
-    rp = os.environ.get("CDSEG_REMAT_POLICY")  # e.g. "dots_saveable"
+    if scan is None:
+        scan = os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0"
+    cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat,
+                           scan_blocks=scan)
+    rp = policy or os.environ.get("CDSEG_REMAT_POLICY")  # "dots_saveable"
     if rp:
         cfg["backbone"]["remat_policy"] = rp
     model = build_model(cfg)

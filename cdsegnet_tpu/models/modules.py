@@ -189,6 +189,9 @@ class SubMConv(nn.Module):
     kernel_volume: int  # 27 for k3, 125 for k5
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # recompute the neighbor gather in backward (False when an outer
+    # nn.remat already rematerializes the enclosing block)
+    remat_gather: bool = True
 
     @nn.compact
     def __call__(self, feat, neighbor_idx):
@@ -205,7 +208,10 @@ class SubMConv(nn.Module):
             else None
         )
         del fan_in
-        return subm_conv_apply(feat.astype(self.dtype), neighbor_idx, weight, bias)
+        return subm_conv_apply(
+            feat.astype(self.dtype), neighbor_idx, weight, bias,
+            remat_gather=self.remat_gather,
+        )
 
 
 def swish(x):

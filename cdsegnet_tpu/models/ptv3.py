@@ -111,8 +111,14 @@ class SerializedAttention(nn.Module):
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )(feat_s).reshape(n, 3, h, d)
         q, kk, v = qkv_s[:, 0], qkv_s[:, 1], qkv_s[:, 2]
-        bs = jnp.take(point.batch, order)
-        ms = jnp.take(point.mask, order)
+        if point.batch_sorted is not None:
+            # precomputed per level (loop-invariant): the scanned block
+            # stacks cannot CSE these gathers across iterations
+            bs = point.batch_sorted[oi]
+            ms = point.mask_sorted[oi]
+        else:
+            bs = jnp.take(point.batch, order)
+            ms = jnp.take(point.mask, order)
         if self.enable_rpe:
             gc = jnp.take(point.grid_coord, order, axis=0).reshape(
                 n // k, k, 3
@@ -152,6 +158,9 @@ class Block(nn.Module):
     upcast_softmax: bool = True
     use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
+    # False when the whole Block is wrapped in nn.remat (a nested gather
+    # checkpoint inside an outer remat recomputes twice per backward)
+    remat_gather: bool = True
 
     @nn.compact
     def __call__(self, point: PointBatch, deterministic: bool = True,
@@ -160,7 +169,8 @@ class Block(nn.Module):
         dp = self.drop_path_rate if drop_path_rate is None else drop_path_rate
         dp_static_zero = isinstance(dp, (int, float)) and float(dp) == 0.0
         shortcut = point.feat
-        f = SubMConv(c, c, 27, use_bias=True, dtype=self.dtype, name="cpe_conv")(
+        f = SubMConv(c, c, 27, use_bias=True, dtype=self.dtype,
+                     remat_gather=self.remat_gather, name="cpe_conv")(
             point.feat, point.neighbor_idx
         )
         f = nn.Dense(c, dtype=self.dtype, name="cpe_fc")(f)
@@ -412,10 +422,15 @@ class CrossAttention(nn.Module):
         kv_s = nn.Dense(
             2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv"
         )(jnp.take(kv_point.feat, kv_order, axis=0)).reshape(-1, 2, h, d)
+        def sorted_bm(pt, order):
+            if pt.batch_sorted is not None:
+                return pt.batch_sorted[order_index], pt.mask_sorted[order_index]
+            return jnp.take(pt.batch, order), jnp.take(pt.mask, order)
+
+        q_bs, q_ms = sorted_bm(q_point, q_order)
+        kv_bs, kv_ms = sorted_bm(kv_point, kv_order)
         out = cross_patch_attention(
-            q_s, kv_s[:, 0], kv_s[:, 1],
-            jnp.take(q_point.batch, q_order), jnp.take(q_point.mask, q_order),
-            jnp.take(kv_point.batch, kv_order), jnp.take(kv_point.mask, kv_order),
+            q_s, kv_s[:, 0], kv_s[:, 1], q_bs, q_ms, kv_bs, kv_ms,
             k, k, scale, upcast_softmax=self.upcast_softmax,
         )
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(n, c))
@@ -775,6 +790,9 @@ class PointTransformerV3(nn.Module):
         10-stage architecture); otherwise unrolls with per-block modules.
         ``dp_rates`` is the per-depth stochastic-depth schedule, already in
         application order."""
+        # when blocks are remat'd, the whole body already recomputes in
+        # backward — a nested gather checkpoint would recompute twice
+        bk.setdefault("remat_gather", not self.remat_blocks)
         n_orders = len(self.orders)
         if not self.scan_blocks or depth == 1:
             for i in range(depth):

@@ -177,6 +177,8 @@ def build_pooled_level(
         codes=codes,
         orders=order,
         inverses=inverse,
+        batch_sorted=jax.vmap(lambda o: jnp.take(batch, o))(order),
+        mask_sorted=jax.vmap(lambda o: jnp.take(new_mask, o))(order),
         depth=pp.depth - pd,
         num_scenes=pp.num_scenes,
     )

@@ -68,6 +68,12 @@ class PointBatch:
     codes: Optional[jnp.ndarray] = None
     orders: Optional[jnp.ndarray] = None
     inverses: Optional[jnp.ndarray] = None
+    # (O, N) batch ids / validity in each order's sorted arrangement —
+    # loop-invariant per level, precomputed once so attention blocks don't
+    # re-gather them per block (the scanned stacks cannot CSE the gathers
+    # across iterations)
+    batch_sorted: Optional[jnp.ndarray] = None
+    mask_sorted: Optional[jnp.ndarray] = None
     t_emb: Optional[jnp.ndarray] = None
     neighbor_idx: Optional[jnp.ndarray] = None
     depth: int = flax.struct.field(pytree_node=False, default=16)
@@ -182,7 +188,11 @@ def serialize(
     inverse = jax.vmap(lambda o, a: jnp.zeros((n,), jnp.int32).at[o].set(a))(
         order, arange
     )
-    return point.replace(codes=codes, orders=order, inverses=inverse)
+    return point.replace(
+        codes=codes, orders=order, inverses=inverse,
+        batch_sorted=jax.vmap(lambda o: jnp.take(point.batch, o))(order),
+        mask_sorted=jax.vmap(lambda o: jnp.take(point.mask, o))(order),
+    )
 
 
 # ---------------------------------------------------------------------------

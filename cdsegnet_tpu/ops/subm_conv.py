@@ -20,18 +20,14 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.checkpoint, static_argnums=(3,))
 def _gather_matmul(feat, neighbor_idx, weight, accum_dtype):
-    """Neighbor gather + one MXU contraction, rematerialized in backward.
+    """Neighbor gather + one MXU contraction.
 
-    The gathered ``(N, K*C_in)`` operand is a residual of the weight grad
-    (``dW = g^T @ dout``); without remat it is stored bf16 across fwd+bwd —
-    54*N*C bytes per conv, ~4 GB across the flagship's 34 xCPE convs + k5
-    stem at the 104k train bucket, which is what pushed the round-3 no-remat
-    train step out of v5e HBM. `jax.checkpoint` re-runs the (cheap,
-    bandwidth-comparable-to-the-saved-read) gather in backward instead; the
-    unused forward matmul recompute is dead-code-eliminated by XLA.
-    """
+    See `_gather_matmul_remat` for the memory rationale; this raw form is
+    used when an outer `nn.remat` already rematerializes the enclosing
+    block (nesting a second checkpoint inside it recomputes the gather
+    twice per backward and blocks CSE — measured 20% train-throughput loss
+    at the 204.8k recipe bucket)."""
     n, c_in = feat.shape
     k = neighbor_idx.shape[1]
     c_out = weight.shape[2]
@@ -49,12 +45,26 @@ def _gather_matmul(feat, neighbor_idx, weight, accum_dtype):
     return jnp.dot(g, w, preferred_element_type=accum_dtype).astype(feat.dtype)
 
 
+#: `jax.checkpoint` wrapper: the gathered ``(N, K*C_in)`` operand is a
+#: residual of the weight grad (``dW = g^T @ dout``); without remat it is
+#: stored bf16 across fwd+bwd — 54*N*C bytes per conv, ~1.6 GB across the
+#: flagship's 34 xCPE convs + k5 stem at the 104k train bucket (measured
+#: via XLA memory_analysis), part of what pushed the round-3 no-remat train
+#: step out of v5e HBM. The checkpoint re-runs the (cheap, bandwidth-
+#: comparable-to-the-saved-read) gather in backward instead; the unused
+#: forward matmul recompute is dead-code-eliminated by XLA.
+_gather_matmul_remat = functools.partial(jax.checkpoint, static_argnums=(3,))(
+    _gather_matmul
+)
+
+
 def subm_conv_apply(
     feat: jnp.ndarray,
     neighbor_idx: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
     accum_dtype: jnp.dtype = jnp.float32,
+    remat_gather: bool = True,
 ) -> jnp.ndarray:
     """Apply a submanifold conv.
 
@@ -63,13 +73,17 @@ def subm_conv_apply(
       neighbor_idx: (N, K) int32; value N marks missing neighbors.
       weight: (K, C_in, C_out).
       bias: optional (C_out,).
+      remat_gather: recompute the (N, K*C_in) gather in backward instead of
+        storing it (see `_gather_matmul_remat`). Pass False when an outer
+        `nn.remat` already covers the call site.
 
     Returns:
       (N, C_out) in ``feat.dtype``.
     """
     assert weight.shape[0] == neighbor_idx.shape[1], (
         weight.shape, neighbor_idx.shape)
-    out = _gather_matmul(feat, neighbor_idx, weight, accum_dtype)
+    fn = _gather_matmul_remat if remat_gather else _gather_matmul
+    out = fn(feat, neighbor_idx, weight, accum_dtype)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out
@@ -107,5 +121,6 @@ def dual_subm_conv_apply(
         ],
         axis=1,
     )
-    out = _gather_matmul(cat, neighbor_idx, w, accum_dtype)
+    # the stem sits outside any block-level nn.remat — always checkpoint
+    out = _gather_matmul_remat(cat, neighbor_idx, w, accum_dtype)
     return out[:, :coa], out[:, coa:]
