@@ -10,11 +10,23 @@ full ScanNet val split (312 scenes, ~150k grid-sampled points/scene) on
 v5e-8 pod when matched pod-for-node. `vs_baseline` is measured points/s/chip
 over that 266k figure (>1.0 = faster than the reference per-chip).
 
-Prints ONE JSON line.
+Prints ONE JSON line. The artifact is flake-resilient (round-4 verdict #1):
+
+- every section runs behind a transient-error retry (the remote-compile
+  relay drops long HTTP bodies: "response body closed before all bytes were
+  read" killed the round-4 run 400 s into the train compile);
+- the train/recipe sections are best-effort: a final failure records an
+  ``*_error`` field instead of destroying the already-measured SSI number;
+- after each section the accumulated result is written to
+  ``bench_partial.json`` so even a SIGKILL leaves evidence;
+- the persistent XLA compile cache (enabled in ``cdsegnet_tpu/__init__``,
+  `.jax_cache/`) makes retried/repeated compiles cheap — the reference's
+  timing protocol produces a number every run (`tools/test_time.py:30-64`);
+  ours must too.
 """
 
 import json
-import jax.numpy as jnp
+import os
 import sys
 import time
 
@@ -22,9 +34,10 @@ import time
 def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from __graft_entry__ import _flagship_cfg, _synthetic_point_batch
@@ -32,6 +45,69 @@ from cdsegnet_tpu.models.builder import build_model
 from cdsegnet_tpu.models.segmentor import CNFSegmentor
 
 BASELINE_PTS_PER_SEC_PER_CHIP = 266_000.0
+
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_partial.json")
+
+#: Error signatures of the tunnel/relay between this host and the chip —
+#: retry the section, the chip and the program are fine. (Round 4's fatal
+#: "INTERNAL: .../remote_compile: read body: response body closed before all
+#: bytes were read" is a mid-compile HTTP disconnect, not a compile failure.)
+_TRANSIENT_SIGNATURES = (
+    "read body",
+    "response body closed",
+    "connection reset",
+    "connection refused",
+    "broken pipe",
+    "socket closed",
+    "unavailable",
+    "deadline exceeded",
+    "transport closed",
+    "keepalive",
+)
+
+
+def _is_transient(e: Exception) -> bool:
+    s = str(e).lower()
+    return any(sig in s for sig in _TRANSIENT_SIGNATURES)
+
+
+def _is_oom(e: Exception) -> bool:
+    """Genuine memory exhaustion (runtime RESOURCE_EXHAUSTED, or the compile
+    helper's HTTP 500 that names memory). A bare 'tpu_compile_helper' match
+    used to misclassify relay flakes and HLO bugs as OOMs (round-4 advisor)."""
+    s = str(e)
+    sl = s.lower()
+    if "resource_exhausted" in sl or "out of memory" in sl:
+        return True
+    return "tpu_compile_helper" in sl and any(
+        t in sl for t in ("memor", "exhaust", "oom", "hbm", "allocat")
+    )
+
+
+def _retry_transient(fn, *args, what="section", retries=2, **kwargs):
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 - classify and re-raise below
+            if attempt < retries and _is_transient(e):
+                _note(
+                    f"transient relay error in {what} "
+                    f"(attempt {attempt + 1}/{retries + 1}): {str(e)[:160]}"
+                    " — retrying in 10s (compile cache makes retries cheap)"
+                )
+                time.sleep(10)
+                continue
+            raise
+
+
+def _write_partial(result: dict):
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError as e:  # pragma: no cover - diagnostics only
+        _note(f"could not write {PARTIAL_PATH}: {e}")
 
 
 def check_pallas_parity():
@@ -155,29 +231,10 @@ def check_learning_dynamics():
     return dict(learn_loss_first=round(first, 3), learn_loss_last=round(last, 3))
 
 
-def main():
-    import os
+def run_ssi(cfg, num_points):
+    """Measure the SSI step (geometry + model) on the chip.
 
-    num_points = int(os.environ.get("BENCH_POINTS", 104448))  # ~ScanNet scene
-    patch = 1024
-    cfg = _flagship_cfg(num_points, patch, scale=1)
-    attn = os.environ.get("CDSEG_ATTENTION")  # "pallas" | "xla" | unset=auto
-    if attn:
-        cfg["backbone"]["use_pallas"] = attn == "pallas"
-    scan = os.environ.get("CDSEG_SCAN")  # "0" unrolls block stacks
-    if scan is not None:
-        cfg["backbone"]["scan_blocks"] = scan != "0"
-    parity = {}
-    if jax.default_backend() != "cpu" and not os.environ.get("BENCH_SKIP_PARITY"):
-        _note("pallas parity check...")
-        parity = check_pallas_parity()
-        _note(f"parity ok: {parity}")
-    if not os.environ.get("BENCH_SKIP_LEARNING"):
-        _note("learning-dynamics gate (150-step tiny overfit)...")
-        t0 = time.time()
-        parity.update(check_learning_dynamics())
-        _note(f"learning ok in {time.time()-t0:.1f}s: {parity}")
-
+    Returns (pts_per_sec, fields-for-extra)."""
     model = build_model(cfg)
     point = _synthetic_point_batch(num_points, 1, depth=10, seed=0)
     n_real = int(np.asarray(point.mask).sum())
@@ -191,7 +248,7 @@ def main():
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
     jax.block_until_ready(variables)
     init_s = time.time() - t0
-    _note(f"init {init_s:.1f}s; ssi compile...")
+    _note(f"init {init_s:.1f}s; geometry compile...")
 
     noise = jax.random.normal(jax.random.PRNGKey(7), (num_points, 6))
 
@@ -246,80 +303,144 @@ def main():
 
     pts_per_sec = n_real / dt
     _note(f"ssi {dt*1e3:.1f} ms/step ({pts_per_sec:.0f} pts/s)")
-
-    extra = dict(
+    return pts_per_sec, dict(
         step_ms=round(dt * 1e3, 2),
         n_points=n_real,
         init_s=round(init_s, 1),
+        geom_compile_s=round(geom_compile_s, 1),
         compile_s=round(compile_s, 1),
         device=str(jax.devices()[0]),
         pyramid_dropped=drops,
-        **parity,
     )
 
+
+def main():
+    num_points = int(os.environ.get("BENCH_POINTS", 104448))  # ~ScanNet scene
+    patch = 1024
+    cfg = _flagship_cfg(num_points, patch, scale=1)
+    attn = os.environ.get("CDSEG_ATTENTION")  # "pallas" | "xla" | unset=auto
+    if attn:
+        cfg["backbone"]["use_pallas"] = attn == "pallas"
+    scan = os.environ.get("CDSEG_SCAN")  # "0" unrolls block stacks
+    if scan is not None:
+        cfg["backbone"]["scan_blocks"] = scan != "0"
+
+    result = dict(
+        metric="ssi_points_per_sec_per_chip",
+        value=None,
+        unit="points/s",
+        vs_baseline=None,
+        extra={},
+    )
+    extra = result["extra"]
+
+    # ---- correctness gates (hard failures; transient flakes retried) ----
+    if jax.default_backend() != "cpu" and not os.environ.get("BENCH_SKIP_PARITY"):
+        _note("pallas parity check...")
+        extra.update(_retry_transient(check_pallas_parity, what="pallas parity"))
+        _note(f"parity ok: {extra}")
+        _write_partial(result)
+    if not os.environ.get("BENCH_SKIP_LEARNING"):
+        _note("learning-dynamics gate (150-step tiny overfit)...")
+        t0 = time.time()
+        extra.update(
+            _retry_transient(check_learning_dynamics, what="learning gate")
+        )
+        _note(f"learning ok in {time.time()-t0:.1f}s: {extra}")
+        _write_partial(result)
+
+    # ---- SSI headline (hard failure; transient flakes retried) ----
+    pts_per_sec, ssi_fields = _retry_transient(
+        run_ssi, cfg, num_points, what="ssi section"
+    )
+    extra.update(ssi_fields)
+    result["value"] = round(pts_per_sec, 1)
+    result["vs_baseline"] = round(pts_per_sec / BASELINE_PTS_PER_SEC_PER_CHIP, 3)
+    _write_partial(result)
+
+    # ---- train sections (best-effort: record errors, keep the artifact) ----
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         _note("train bench @104k...")
         try:
-            train_pps, train_ms, train_compile_s = bench_train(cfg, num_points)
-            t_remat = False
-        except Exception as e:
-            # HBM OOM -> remat retry. The relay surfaces runtime OOM as
-            # INTERNAL/RESOURCE_EXHAUSTED and compile-time OOM as an HTTP
-            # 500 from the compile helper — match all three.
-            s = str(e)
-            if not ("RESOURCE_EXHAUSTED" in s
-                    or "out of memory" in s.lower()
-                    or "tpu_compile_helper" in s):
-                raise
-            _note(f"train @104k OOM without remat ({s[:80]}); "
-                  "retrying with remat")
-            train_pps, train_ms, train_compile_s = bench_train(
-                cfg, num_points, remat=True
+            try:
+                train_pps, train_ms, train_compile_s = _retry_transient(
+                    bench_train, cfg, num_points, what="train@104k"
+                )
+                t_remat = False
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                _note(f"train @104k OOM without remat ({str(e)[:80]}); "
+                      "retrying with remat")
+                train_pps, train_ms, train_compile_s = _retry_transient(
+                    bench_train, cfg, num_points, remat=True,
+                    what="train@104k (remat)",
+                )
+                t_remat = True
+            extra.update(
+                train_points_per_sec_per_chip=round(train_pps, 1),
+                train_step_ms=round(train_ms, 2),
+                train_compile_s=round(train_compile_s, 1),
+                train_remat=t_remat,
+                train_scan=os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0",
             )
-            t_remat = True
-        extra.update(
-            train_points_per_sec_per_chip=round(train_pps, 1),
-            train_step_ms=round(train_ms, 2),
-            train_compile_s=round(train_compile_s, 1),
-            train_remat=t_remat,
-            train_scan=os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0",
-        )
+        except Exception as e:  # noqa: BLE001 - keep the SSI artifact alive
+            _note(f"train@104k section FAILED after retries: {str(e)[:300]}")
+            extra["train_error"] = str(e)[:300]
+        _write_partial(result)
 
     if not os.environ.get("BENCH_SKIP_RECIPE"):
         # the shipped recipe bucket: 2 x SphereCrop-102,400 points/chip
-        # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU). Unrolled
-        # no-remat does NOT fit at this scale (~22 GB temp); go straight to
-        # the measured-best fitting variant (scan + dots_saveable remat,
-        # tools/bench_train_variants.py round 4) instead of burning a
-        # ~8-minute compile on a known OOM.
+        # (configs/scannet/cdsegnet.py:10-12, reference bs2/GPU).
         recipe_points = 204800
         _note("train bench @204800 (recipe scale)...")
-        r_pps, r_ms, r_compile = bench_train(
-            cfg, recipe_points, remat=True, iters=3, scan=True,
-            policy="dots_saveable",
-        )
-        r_remat = True
-        extra.update({
-            "train_points_per_sec_per_chip@204800": round(r_pps, 1),
-            "train_step_ms@204800": round(r_ms, 2),
-            "train_compile_s@204800": round(r_compile, 1),
-            "train_remat@204800": r_remat,
-        })
+        try:
+            r_pps, r_ms, r_compile, r_cfg_note = _recipe_train(cfg, recipe_points)
+            extra.update({
+                "train_points_per_sec_per_chip@204800": round(r_pps, 1),
+                "train_step_ms@204800": round(r_ms, 2),
+                "train_compile_s@204800": round(r_compile, 1),
+                "train_config@204800": r_cfg_note,
+            })
+        except Exception as e:  # noqa: BLE001 - keep the SSI artifact alive
+            _note(f"recipe section FAILED after retries: {str(e)[:300]}")
+            extra["recipe_error"] = str(e)[:300]
+        _write_partial(result)
 
-    print(
-        json.dumps(
-            dict(
-                metric="ssi_points_per_sec_per_chip",
-                value=round(pts_per_sec, 1),
-                unit="points/s",
-                vs_baseline=round(pts_per_sec / BASELINE_PTS_PER_SEC_PER_CHIP, 3),
-                extra=extra,
+    print(json.dumps(result))
+
+
+def _recipe_train(cfg, recipe_points):
+    """Recipe-scale (204,800-pt) train step: gradient microbatching.
+
+    Unrolled no-remat does NOT fit at this scale (~22 GB temp); instead of
+    falling back to the slower scan+dots_saveable whole-graph remat
+    (59.8k pts/s, round 4), accumulate gradients over 2 microbatches of
+    102,400 points each — morally identical to the reference's bs2/GPU
+    recipe (`configs/scannet/CDSegNet.py:4-152`), with each microbatch
+    running the fast unrolled no-remat layout."""
+    micro = int(os.environ.get("CDSEG_MICROBATCH", "2"))
+    if micro > 1:
+        try:
+            pps, ms, compile_s = _retry_transient(
+                bench_train, cfg, recipe_points, remat=False, iters=3,
+                scan=False, microbatch=micro, what="recipe microbatch",
             )
-        )
+            return pps, ms, compile_s, f"unrolled noremat x{micro} microbatch"
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            _note(f"recipe microbatch OOM ({str(e)[:80]}); "
+                  "falling back to scan+dots_saveable")
+    pps, ms, compile_s = _retry_transient(
+        bench_train, cfg, recipe_points, remat=True, iters=3, scan=True,
+        policy="dots_saveable", what="recipe scan+dots",
     )
+    return pps, ms, compile_s, "scan + dots_saveable remat"
 
 
-def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None):
+def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None,
+                microbatch=1):
     """Full training step (fwd + bwd + AdamW, 2 scenes/bucket).
 
     Trains UNROLLED (``scan_blocks=False``) by default: `lax.scan` residual
@@ -329,14 +450,17 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None):
     fits v5e HBM and measured 74.6k pts/s vs 64.6k scan+remat
     (tools/bench_train_variants.py). Checkpoints convert to the scanned
     serving layout via `cdsegnet_tpu.utils.params.restack_block_params`.
+
+    ``microbatch`` > 1 splits the bucket into that many equal microbatches
+    and accumulates gradients (`make_train_step(..., microbatch=)`), so
+    buckets whose activations exceed HBM still train the fast unrolled
+    layout.
     """
     import optax  # noqa: F401
 
     from cdsegnet_tpu.engine.optimizer import build_optimizer
     from cdsegnet_tpu.engine.state import TrainState, make_train_step
     from cdsegnet_tpu.models.losses import build_criteria
-
-    import os
 
     cfg = dict(cfg)
     # remat OFF by default: the 104k-point bucket's activations fit v5e HBM
@@ -353,8 +477,31 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None):
         cfg["backbone"]["remat_policy"] = rp
     model = build_model(cfg)
     criteria = build_criteria(cfg["criteria"], loss_type="GLS", task_num=2)
-    point = _synthetic_point_batch(num_points, 2, depth=10, seed=1)
-    n_real = int(np.asarray(point.mask).sum())
+    keys = ("coord", "grid_coord", "feat", "segment", "batch", "mask")
+    if microbatch > 1:
+        # one bucket per microbatch: scenes split across slices, each slice
+        # a self-contained bucket with local scene ids and its own padding
+        assert num_points % microbatch == 0 and 2 % min(microbatch, 2) == 0
+        scenes_per_micro = max(1, 2 // microbatch)
+        pts_per_micro = num_points // microbatch
+        points = [
+            _synthetic_point_batch(
+                pts_per_micro, scenes_per_micro, depth=10, seed=1 + i
+            )
+            for i in range(microbatch)
+        ]
+        point = points[0]
+        batch = {
+            k: np.stack([np.asarray(getattr(p, k)) for p in points])
+            for k in keys
+        }
+        n_real = sum(int(np.asarray(p.mask).sum()) for p in points)
+        num_scenes = scenes_per_micro
+    else:
+        point = _synthetic_point_batch(num_points, 2, depth=10, seed=1)
+        batch = {k: getattr(point, k) for k in keys}
+        n_real = int(np.asarray(point.mask).sum())
+        num_scenes = 2
     rngs = dict(
         params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
         shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3),
@@ -369,16 +516,14 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None):
         param_dicts=[dict(keyword="block", lr=2e-4)],
     )
     state = TrainState.create(variables, tx, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, criteria, tx, 10, 2, mesh=None)
-    batch = dict(
-        coord=point.coord, grid_coord=point.grid_coord, feat=point.feat,
-        segment=point.segment, batch=point.batch, mask=point.mask,
-    )
+    step_fn = make_train_step(model, criteria, tx, 10, num_scenes, mesh=None,
+                              microbatch=microbatch)
     t0 = time.time()
     state, metrics = step_fn(state, batch)
     _ = float(metrics["loss"])
     compile_s = time.time() - t0
-    _note(f"train compile {compile_s:.1f}s @ {num_points} pts")
+    _note(f"train compile {compile_s:.1f}s @ {num_points} pts"
+          + (f" (microbatch x{microbatch})" if microbatch > 1 else ""))
     t0 = time.time()
     for _ in range(iters):
         state, metrics = step_fn(state, batch)

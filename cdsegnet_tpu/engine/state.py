@@ -73,7 +73,7 @@ def batch_to_point(batch: Dict[str, jnp.ndarray], depth: int, num_scenes: int) -
     )
 
 
-def _build_grad_step(apply_loss, tx, mesh):
+def _build_grad_step(apply_loss, tx, mesh, microbatch=1):
     """Shared grad/update/shard pipeline for every train-step flavor.
 
     ``apply_loss(state, batch, rngs)`` returns a closure-ready
@@ -81,18 +81,63 @@ def _build_grad_step(apply_loss, tx, mesh):
     pair; everything else — per-(step, device) rng folding, value_and_grad,
     gradient/metric pmean over ICI, the optax update, and the shard_map
     wiring — lives here once.
+
+    ``microbatch`` > 1 expects every batch array to carry a leading
+    microbatch axis and accumulates gradients over it with `lax.scan`
+    (each iteration's forward+backward residuals are freed before the
+    next starts — the recipe-scale bucket trains the fast unrolled
+    no-remat layout in HBM slices the whole bucket could not fit).
+    Morally the reference's bs2/GPU recipe with sequential scenes
+    (`configs/scannet/CDSegNet.py:4-152`); one optimizer update per call.
     """
 
-    def local_step(state: TrainState, batch, dev_idx):
-        step_rng = jax.random.fold_in(state.rng, state.step)
-        step_rng = jax.random.fold_in(step_rng, dev_idx)
+    def _grads_single(state, batch, step_rng):
         k_drop, k_shuf, k_diff = jax.random.split(step_rng, 3)
         rngs = dict(dropout=k_drop, shuffle=k_shuf, diffusion=k_diff)
-
         loss_fn, extra_metrics = apply_loss(state, batch, rngs)
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        return loss, grads, new_stats, extra_metrics(out)
+
+    def _grads_micro(state, batch, step_rng):
+        grads0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            stats, grads_acc = carry
+            mb, idx = xs
+            mrng = jax.random.fold_in(step_rng, idx)
+            loss, grads, new_stats, extras = _grads_single(
+                state.replace(batch_stats=stats), mb, mrng
+            )
+            grads_acc = jax.tree_util.tree_map(
+                jnp.add, grads_acc, grads
+            )
+            return (new_stats, grads_acc), (loss, extras)
+
+        (new_stats, grads), (losses, extras) = jax.lax.scan(
+            body,
+            (state.batch_stats, grads0),
+            (batch, jnp.arange(microbatch, dtype=jnp.int32)),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / microbatch, grads)
+        # integer diagnostics (valid_points, dropped_l*) sum over the
+        # microbatches of one logical step; float metrics average
+        extras = {
+            k: (
+                jnp.sum(v, axis=0)
+                if jnp.issubdtype(jnp.asarray(v).dtype, jnp.integer)
+                else jnp.mean(v, axis=0)
+            )
+            for k, v in extras.items()
+        }
+        return jnp.mean(losses), grads, new_stats, extras
+
+    def local_step(state: TrainState, batch, dev_idx):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        step_rng = jax.random.fold_in(step_rng, dev_idx)
+        grads_fn = _grads_micro if microbatch > 1 else _grads_single
+        loss, grads, new_stats, extras = grads_fn(state, batch, step_rng)
         if mesh is not None:
             grads = jax.lax.pmean(grads, DATA_AXIS)
             loss_avg = jax.lax.pmean(loss, DATA_AXIS)
@@ -102,7 +147,7 @@ def _build_grad_step(apply_loss, tx, mesh):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(loss=loss_avg)
-        for k, v in extra_metrics(out).items():
+        for k, v in extras.items():
             metrics[k] = (
                 jax.lax.pmean(v, DATA_AXIS)
                 if (mesh is not None and jnp.issubdtype(
@@ -164,6 +209,7 @@ def make_train_step(
     num_scenes: int,
     mesh: Optional[Mesh] = None,
     model_kwargs: Optional[Dict] = None,
+    microbatch: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
@@ -172,6 +218,9 @@ def make_train_step(
     ``model_kwargs`` are extra *static* arguments forwarded to the model
     (e.g. PPT's per-dataset ``condition`` index — one compiled step per
     dataset, built by ``MultiDatasetTrainer``).
+    ``microbatch`` > 1 expects a leading microbatch axis on every batch
+    array (innermost of the device axis, when both are present) and
+    accumulates gradients sequentially — see `_build_grad_step`.
     """
     model_kwargs = model_kwargs or {}
 
@@ -207,7 +256,7 @@ def make_train_step(
 
         return loss_fn, extra_metrics
 
-    return _build_grad_step(apply_loss, tx, mesh)
+    return _build_grad_step(apply_loss, tx, mesh, microbatch=microbatch)
 
 
 def make_msc_train_step(

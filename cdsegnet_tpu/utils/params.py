@@ -22,6 +22,7 @@ the price/benefit of `nn.scan` (SURVEY §2.2 backbone).
 from __future__ import annotations
 
 import re
+from collections.abc import Mapping
 from typing import Any, Dict
 
 import jax
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 _BLOCK_RE = re.compile(r"(.+_block)(\d+)$")
 
 
-def _convert(tree: Dict[str, Any], to_scanned: bool) -> Dict[str, Any]:
+def _convert(tree: Mapping, to_scanned: bool, counter: list) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     groups: Dict[str, list] = {}
     for k in sorted(tree):
@@ -42,9 +43,10 @@ def _convert(tree: Dict[str, Any], to_scanned: bool) -> Dict[str, Any]:
         if (
             not to_scanned
             and k.endswith("_blocks")
-            and isinstance(v, dict)
+            and isinstance(v, Mapping)
             and set(v) == {"block"}
         ):
+            counter[0] += 1
             depth = jax.tree_util.tree_leaves(v["block"])[0].shape[0]
             for i in range(depth):
                 out[f"{k[:-1]}{i}"] = jax.tree_util.tree_map(
@@ -52,11 +54,12 @@ def _convert(tree: Dict[str, Any], to_scanned: bool) -> Dict[str, Any]:
                 )
             continue
         out[k] = (
-            _convert(v, to_scanned)
-            if isinstance(v, dict) and not m
+            _convert(v, to_scanned, counter)
+            if isinstance(v, Mapping) and not m
             else v
         )
     for prefix, keys in groups.items():
+        counter[0] += 1
         keys.sort(key=lambda k: int(k[len(prefix):]))
         out[prefix + "s"] = {
             "block": jax.tree_util.tree_map(
@@ -66,13 +69,32 @@ def _convert(tree: Dict[str, Any], to_scanned: bool) -> Dict[str, Any]:
     return out
 
 
-def restack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def _convert_checked(params: Mapping, to_scanned: bool,
+                     allow_noop: bool) -> Dict[str, Any]:
+    counter = [0]
+    out = _convert(params, to_scanned, counter)
+    if counter[0] == 0 and not allow_noop:
+        raise ValueError(
+            "no block groups found to convert — the checkpoint is already "
+            f"in the {'scanned' if to_scanned else 'unrolled'} layout (or "
+            "not a PTv3-family param tree); pass allow_noop=True to accept"
+        )
+    return out
+
+
+def restack_block_params(params: Mapping, allow_noop: bool = False
+                         ) -> Dict[str, Any]:
     """Unrolled (``<stage>_block{i}``) -> scanned (``<stage>_blocks/block``
     with a leading depth axis). Single-block stages (no ``_block1`` sibling)
-    are left as-is — `_run_blocks` unrolls depth-1 runs in both modes."""
-    return _convert(params, to_scanned=True)
+    are left as-is — `_run_blocks` unrolls depth-1 runs in both modes.
+
+    Accepts any Mapping (plain dict or flax FrozenDict); raises if nothing
+    was converted unless ``allow_noop`` (a silent no-op used to hide
+    already-scanned checkpoints; round-4 advisor finding)."""
+    return _convert_checked(params, True, allow_noop)
 
 
-def unstack_block_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def unstack_block_params(params: Mapping, allow_noop: bool = False
+                         ) -> Dict[str, Any]:
     """Scanned -> unrolled (inverse of :func:`restack_block_params`)."""
-    return _convert(params, to_scanned=False)
+    return _convert_checked(params, False, allow_noop)

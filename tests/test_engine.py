@@ -311,3 +311,84 @@ def test_tester_dict_output_model(tmp_path):
     tester = SemSegTester(cfg, state=state, model=model)
     miou = tester.test()
     assert miou is not None and 0.0 <= miou <= 1.0
+
+
+def test_microbatch_grad_accumulation():
+    """microbatch=K averages per-micro grads exactly (one optimizer update);
+    integer diagnostics sum, float metrics average. Semantics counterpart of
+    the reference's bs2/GPU recipe run as sequential scenes
+    (`configs/scannet/CDSegNet.py:4-152`)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cdsegnet_tpu.engine.state import TrainState, _build_grad_step
+
+    def apply_loss(state, batch, rngs):
+        def loss_fn(params):
+            resid = params["w"] * batch["x"] - batch["y"]
+            loss = jnp.sum(jnp.where(batch["m"], resid**2, 0.0))
+            return loss, (dict(valid=jnp.sum(batch["m"])), state.batch_stats)
+
+        def extra_metrics(out):
+            return dict(valid_points=out["valid"])
+
+        return loss_fn, extra_metrics
+
+    tx = optax.sgd(0.5)
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(0)
+    xs = jnp.asarray(rng.randn(2, 8), jnp.float32)
+    ys = jnp.asarray(rng.randn(2, 8), jnp.float32)
+    ms = jnp.asarray(rng.rand(2, 8) > 0.3)
+    stacked = dict(x=xs, y=ys, m=ms)
+
+    def make_state():
+        return TrainState.create(
+            {"params": params}, tx, jax.random.PRNGKey(0)
+        )
+
+    micro_fn = _build_grad_step(apply_loss, tx, mesh=None, microbatch=2)
+    new_state, metrics = micro_fn(make_state(), stacked)
+
+    # manual: mean of per-micro grads, one SGD update
+    def loss_i(w, i):
+        r = w * xs[i] - ys[i]
+        return jnp.sum(jnp.where(ms[i], r**2, 0.0))
+
+    g = np.mean([float(jax.grad(loss_i)(jnp.asarray(2.0), i)) for i in (0, 1)])
+    expect_w = 2.0 - 0.5 * g
+    np.testing.assert_allclose(float(new_state.params["w"]), expect_w, rtol=1e-6)
+    expect_loss = np.mean([float(loss_i(jnp.asarray(2.0), i)) for i in (0, 1)])
+    np.testing.assert_allclose(float(metrics["loss"]), expect_loss, rtol=1e-6)
+    assert int(metrics["valid_points"]) == int(np.asarray(ms).sum())
+
+
+def test_restack_requires_groups():
+    """restack/unstack raise on a tree with no convertible block groups
+    (a silent no-op hid already-converted checkpoints; round-4 advisor),
+    and accept FrozenDict-typed trees."""
+    import flax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from cdsegnet_tpu.utils.params import (
+        restack_block_params,
+        unstack_block_params,
+    )
+
+    plain = {"head": {"kernel": jnp.zeros((2, 2))}}
+    with _pytest.raises(ValueError):
+        restack_block_params(plain)
+    with _pytest.raises(ValueError):
+        unstack_block_params(plain)
+    assert restack_block_params(plain, allow_noop=True) == plain
+
+    unrolled = flax.core.freeze({
+        "enc_block0": {"w": jnp.ones((3,))},
+        "enc_block1": {"w": jnp.full((3,), 2.0)},
+    })
+    scanned = restack_block_params(unrolled)
+    assert scanned["enc_blocks"]["block"]["w"].shape == (2, 3)
+    back = unstack_block_params(scanned)
+    np.testing.assert_array_equal(back["enc_block1"]["w"], np.full((3,), 2.0))

@@ -33,12 +33,13 @@ def main():
     for name in names:
         v = VARIANTS[name]
         cfg = _flagship_cfg(num_points, 1024, scale=1)
-        cfg["backbone"] = dict(cfg["backbone"], scan_blocks=v["scan"])
-        if v.get("policy"):
-            cfg["backbone"]["remat_policy"] = v["policy"]
         try:
+            # scan/policy must go through bench_train's kwargs — it rebuilds
+            # the backbone cfg from them (a cfg-only mutation is overwritten
+            # by the CDSEG_TRAIN_SCAN default; round-4 advisor finding)
             pps, ms, compile_s = bench.bench_train(
-                cfg, num_points, remat=v["remat"], iters=5
+                cfg, num_points, remat=v["remat"], iters=5,
+                scan=v["scan"], policy=v.get("policy"),
             )
             print(
                 f"{name}: {pps:.0f} pts/s  {ms:.1f} ms/step  "
