@@ -37,6 +37,7 @@ class TrainLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         pair_feat_keys: Optional[Sequence[str]] = None,
+        microbatch: int = 1,
     ):
         self.dataset = dataset
         self.num_devices = num_devices
@@ -50,6 +51,16 @@ class TrainLoader:
         # two-view contrastive collation (MSC pretraining); Mix3D is
         # meaningless across views and is skipped
         self.pair_feat_keys = pair_feat_keys
+        # gradient microbatching: each device bucket is emitted as
+        # `microbatch` sub-buckets (extra leading axis after the device
+        # axis), each holding scenes_per_device/microbatch scenes padded to
+        # num_points/microbatch. Mix3D applies WITHIN a micro bucket (a
+        # merged scene must fit its static bucket); at 1 scene per micro it
+        # is a no-op — the documented fidelity tradeoff of the fast
+        # unrolled-no-remat recipe (see configs/scannet/cdsegnet.py).
+        assert scenes_per_device % microbatch == 0, (scenes_per_device, microbatch)
+        assert num_points % microbatch == 0, (num_points, microbatch)
+        self.microbatch = microbatch
         self.scenes_per_batch = num_devices * scenes_per_device
 
     def __len__(self) -> int:
@@ -72,9 +83,11 @@ class TrainLoader:
                 d * self.scenes_per_device: (d + 1) * self.scenes_per_device
             ]
             scenes = [self.dataset.get(int(i), rng) for i in scene_ids]
-            if self.pair_feat_keys is None:
+            if self.pair_feat_keys is None and self.microbatch == 1:
                 scenes = mix3d(scenes, rng, self.mix_prob)
             per_device.append(scenes)
+        if self.microbatch > 1:
+            return self._collate_micro(per_device, rng)
         if self.pair_feat_keys is not None:
             from cdsegnet_tpu.data.collate import collate_pair_scenes
 
@@ -93,6 +106,26 @@ class TrainLoader:
         return collate_sharded(
             per_device, self.num_points, self.scenes_per_device, self.feat_dim
         )
+
+    def _collate_micro(self, per_device, rng):
+        """(device, micro, points) buckets for gradient accumulation."""
+        from cdsegnet_tpu.data.collate import collate_scenes
+
+        spm = self.scenes_per_device // self.microbatch
+        ppm = self.num_points // self.microbatch
+        dev_stacks = []
+        for scenes in per_device:
+            micros = []
+            for m in range(self.microbatch):
+                group = scenes[m * spm: (m + 1) * spm]
+                group = mix3d(group, rng, self.mix_prob)
+                micros.append(collate_scenes(group, ppm, spm, self.feat_dim))
+            dev_stacks.append(
+                {k: np.stack([mb[k] for mb in micros]) for k in micros[0]}
+            )
+        return {
+            k: np.stack([d[k] for d in dev_stacks]) for k in dev_stacks[0]
+        }
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         idxs = self._epoch_indices(epoch)

@@ -59,5 +59,17 @@ class CheckpointManager:
         restored = self._ckptr.restore(path, target)
         return restored
 
+    def restore_raw(self, name: str = "model_last") -> Optional[Any]:
+        """Restore without a target tree (structure inferred from disk).
+
+        Used by serving paths that convert the parameter layout after
+        loading (unrolled train checkpoint -> scanned serving layout via
+        `utils.params.restack_block_params`) and therefore cannot provide
+        a matching target up front."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path)
+
     def has(self, name: str = "model_last") -> bool:
         return os.path.exists(self._path(name))

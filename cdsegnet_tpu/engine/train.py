@@ -64,6 +64,11 @@ class Trainer:
 
         # ---- data ----
         bucket = cfg.get("bucket_num_points", 102400 * cfg.get("scenes_per_device", 2))
+        # gradient microbatching (cfg.microbatch > 1): the device bucket is
+        # split into micro buckets trained sequentially with grad
+        # accumulation — the fast unrolled no-remat layout fits HBM in
+        # micro slices where the whole bucket does not (DESIGN §13/§14)
+        self.microbatch = int(cfg.get("microbatch", 1))
         self.train_loader = self.build_train_loader(num_devices, bucket)
         self.steps_per_epoch = len(self.train_loader)
         self.total_steps = self.steps_per_epoch * self.max_epoch
@@ -88,10 +93,12 @@ class Trainer:
             task_num=cfg.model.get("task_num", 2),
         )
         depth = cfg.get("serialization_depth", 16)
-        num_scenes = cfg.get("scenes_per_device", 2)
+        num_scenes = cfg.get("scenes_per_device", 2) // self.microbatch
 
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
-        init_batch = self._dummy_batch(bucket, depth, num_scenes)
+        init_batch = self._dummy_batch(
+            bucket // self.microbatch, depth, num_scenes
+        )
         init_rngs = dict(
             params=rng, dropout=rng, shuffle=rng, diffusion=rng
         )
@@ -121,7 +128,8 @@ class Trainer:
         self.ckpt_manager = CheckpointManager(os.path.join(self.save_path, "model"))
 
         self.train_step = make_train_step(
-            self.model, self.criteria, tx, depth, num_scenes, self.mesh
+            self.model, self.criteria, tx, depth, num_scenes, self.mesh,
+            microbatch=self.microbatch,
         )
         eval_kwargs = {}
         conds = tuple(cfg.model.get("conditions", ()) or ())
@@ -154,6 +162,7 @@ class Trainer:
             num_points=bucket,
             mix_prob=cfg.get("mix_prob", 0.0),
             seed=cfg.get("seed", 0),
+            microbatch=self.microbatch,
         )
 
     def _init_variables(self, init_rngs, init_batch):
@@ -358,7 +367,9 @@ class MultiDatasetTrainer(Trainer):
             self._cond_steps[cond] = make_train_step(
                 self.model, self.criteria, self.tx,
                 self.cfg.get("serialization_depth", 16),
-                self.cfg.get("scenes_per_device", 2), self.mesh,
+                self.cfg.get("scenes_per_device", 2) // self.microbatch,
+                self.mesh,
                 model_kwargs=dict(condition=cond),
+                microbatch=self.microbatch,
             )
         return self._cond_steps[cond]

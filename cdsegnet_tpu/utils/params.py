@@ -98,3 +98,47 @@ def unstack_block_params(params: Mapping, allow_noop: bool = False
                          ) -> Dict[str, Any]:
     """Scanned -> unrolled (inverse of :func:`restack_block_params`)."""
     return _convert_checked(params, False, allow_noop)
+
+
+def detect_block_layout(params: Mapping) -> str:
+    """``"unrolled"`` if the tree holds ``<stage>_block{0,1,...}`` groups,
+    ``"scanned"`` if it holds ``<stage>_blocks/block`` stacks, ``"none"`` if
+    neither (single-block stages only / not a block-stack model)."""
+    found = {"unrolled": False, "scanned": False}
+
+    def walk(tree):
+        for k, v in tree.items():
+            m = _BLOCK_RE.fullmatch(k)
+            if m and (m.group(1) + "1") in tree:
+                found["unrolled"] = True
+            elif (
+                k.endswith("_blocks")
+                and isinstance(v, Mapping)
+                and set(v) == {"block"}
+            ):
+                found["scanned"] = True
+            elif isinstance(v, Mapping) and not m:
+                walk(v)
+
+    walk(params)
+    if found["unrolled"] and found["scanned"]:
+        raise ValueError("mixed block layouts in one param tree")
+    if found["unrolled"]:
+        return "unrolled"
+    if found["scanned"]:
+        return "scanned"
+    return "none"
+
+
+def convert_to_layout(params: Mapping, target: str) -> Dict[str, Any]:
+    """Convert a param tree to ``target`` layout ("scanned"/"unrolled"),
+    no-op when already there (or when no block stacks exist)."""
+    assert target in ("scanned", "unrolled"), target
+    current = detect_block_layout(params)
+    if current in (target, "none"):
+        return params if isinstance(params, dict) else dict(params)
+    return (
+        restack_block_params(params)
+        if target == "scanned"
+        else unstack_block_params(params)
+    )

@@ -64,6 +64,12 @@ model = dict(
         skip_connection_scale=True,
         capacity_div=(1, 2, 4, 16, 64),
         dtype="bfloat16",
+        # unrolled train layout + whole-bucket remat; see
+        # configs/scannet/cdsegnet.py for the rationale and the microbatch
+        # fast path
+        scan_blocks=False,
+        remat_blocks=True,
+        remat_policy="dots_saveable",
     ),
     criteria=[
         dict(type="MSELoss", loss_weight=1.0, ignore_index=ignore_index),

@@ -9,6 +9,11 @@ _base_ = ["../_base_/default_runtime.py"]
 scenes_per_device = 2  # bs2 per chip; DP over chips scales global batch
 num_points_per_scene = 102400
 bucket_num_points = scenes_per_device * num_points_per_scene
+# microbatch=2 trains each scene as its own 102,400-pt accumulation slice
+# (unrolled no-remat fits HBM per slice: ~74k pts/s vs ~60k whole-bucket
+# remat) — set it together with remat_blocks=False below. Default 1 keeps
+# cross-scene Mix3D exactly as the reference recipe.
+microbatch = 1
 mix_prob = 0.8
 seed = 54421566
 gredient_clip = []
@@ -71,6 +76,19 @@ model = dict(
         skip_connection_scale=True,
         capacity_div=(1, 2, 4, 16, 64),
         dtype="bfloat16",
+        # train layout: UNROLLED block stacks (lax.scan residual stacks are
+        # invisible to XLA's rematerializer — measured +7 GB temp at the
+        # 104k bucket, DESIGN §13). Serving restacks the checkpoint to the
+        # fast-compiling scanned layout (tools/test.py, serve_scan_blocks).
+        scan_blocks=False,
+        # the whole 204,800-pt device bucket does not fit unrolled-no-remat
+        # (~22 GB temp); dots_saveable remat keeps matmul outputs resident
+        # and fits. For ~25% more train throughput set microbatch=2 below
+        # (2 x 102,400 accumulation, remat off) — the documented tradeoff is
+        # that Mix3D merges only within a micro bucket, i.e. not at 1
+        # scene/micro.
+        remat_blocks=True,
+        remat_policy="dots_saveable",
     ),
     criteria=[
         dict(type="MSELoss", loss_weight=1.0, ignore_index=ignore_index),

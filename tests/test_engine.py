@@ -1,6 +1,7 @@
 """Engine integration: config system, trainer loop, checkpointing, tester."""
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -392,3 +393,111 @@ def test_restack_requires_groups():
     assert scanned["enc_blocks"]["block"]["w"].shape == (2, 3)
     back = unstack_block_params(scanned)
     np.testing.assert_array_equal(back["enc_block1"]["w"], np.full((3,), 2.0))
+
+
+@pytest.mark.slow
+def test_train_unrolled_serve_scanned_roundtrip(tmp_path):
+    """Production path (round-4 verdict #3): train the UNROLLED layout via
+    the Trainer/CLI config, checkpoint, then `tools/test.py::load_state`
+    builds the SCANNED serving model and converts the checkpoint — tester
+    consumes it unmodified. Reference counterpart: one recipe config is both
+    the production train entry and the test entry
+    (`configs/scannet/CDSegNet.py:4-152`, `engines/test.py:58-87`)."""
+    from test_model import TINY_BACKBONE
+
+    root = str(tmp_path / "data")
+    _write_synthetic_dataset(root)
+    save = str(tmp_path / "exp")
+    transform = [
+        dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train",
+             return_grid_coord=True),
+        dict(type="NormalizeColor"),
+        dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+             feat_keys=("color", "normal")),
+    ]
+    # depth-2 stacks so both layouts are non-trivially different
+    backbone = dict(
+        TINY_BACKBONE,
+        n_enc_depths=(2, 1, 1, 1, 1), n_dec_depths=(2, 1, 1, 1),
+        scan_blocks=False, remat_blocks=True, remat_policy="dots_saveable",
+    )
+    model_cfg = dict(
+        type="DefaultSegmentorV2",
+        backbone=backbone,
+        criteria=[
+            dict(type="MSELoss", loss_weight=1.0),
+            dict(type="CrossEntropyLoss", loss_weight=1.0),
+            dict(type="LovaszLoss", loss_weight=1.0),
+        ],
+        loss_type="GLS", task_num=2, num_classes=5, T=20,
+        beta_start=0, beta_end=1000, noise_schedule="cosine", T_dim=16,
+        dm=True, dm_input="xt", dm_target="noise", condition=True,
+        c_in_channels=6,
+    )
+    cfg = Config(Config._wrap(dict(
+        save_path=save, seed=0, num_devices=1, scenes_per_device=2,
+        bucket_num_points=1024, val_num_points=512, serialization_depth=7,
+        mix_prob=0.0, microbatch=2, epoch=1, resume=False,
+        model=model_cfg,
+        optimizer=dict(type="AdamW", lr=1e-3, weight_decay=0.01),
+        scheduler=dict(type="OneCycleLR", pct_start=0.3),
+        param_dicts=[dict(keyword="block", lr=1e-4)],
+        test_buckets=[256, 512],
+        data=dict(
+            num_classes=5, ignore_index=-1,
+            names=[f"c{i}" for i in range(5)],
+            train=dict(type="ScanNetDataset", split="train", data_root=root,
+                       transform=transform, test_mode=False),
+            val=dict(type="ScanNetDataset", split="val", data_root=root,
+                     transform=transform, test_mode=False),
+            test=dict(
+                type="ScanNetDataset", split="val", data_root=root,
+                transform=[dict(type="CenterShift", apply_z=True),
+                           dict(type="NormalizeColor")],
+                test_mode=True,
+                test_cfg=dict(
+                    voxelize=dict(type="GridSample", grid_size=0.1,
+                                  hash_type="fnv", mode="test",
+                                  keys=("coord", "color", "normal"),
+                                  return_grid_coord=True),
+                    crop=None,
+                    post_transform=[
+                        dict(type="CenterShift", apply_z=False),
+                        dict(type="Collect",
+                             keys=("coord", "grid_coord", "index"),
+                             feat_keys=("color", "normal")),
+                    ],
+                    aug_transform=[
+                        [dict(type="RandomRotateTargetAngle", angle=[0],
+                              axis="z", center=[0, 0, 0], p=1)],
+                    ],
+                ),
+            ),
+        ),
+    )))
+    from cdsegnet_tpu.engine.train import Trainer
+    from cdsegnet_tpu.utils.params import detect_block_layout
+
+    tr = Trainer(cfg)
+    tr.train()
+    assert detect_block_layout(tr.state.params) == "unrolled"
+    assert tr.ckpt_manager.has("model_last")
+
+    import importlib.util
+
+    tool_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "test.py",
+    )
+    spec = importlib.util.spec_from_file_location("cdseg_test_tool", tool_path)
+    test_tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(test_tool)
+    model, state = test_tool.load_state(cfg, "model_last")
+    assert detect_block_layout(state.params) == "scanned"
+    assert model.backbone.scan_blocks is True
+
+    from cdsegnet_tpu.engine.test import SemSegTester
+
+    tester = SemSegTester(cfg, state=state, model=model, verbose=False)
+    miou = tester.test()
+    assert 0.0 <= miou <= 1.0

@@ -23,34 +23,47 @@ from cdsegnet_tpu.engine.config import Config, parse_options
 from cdsegnet_tpu.engine.state import TrainState
 from cdsegnet_tpu.engine.test import TESTERS
 from cdsegnet_tpu.models.builder import build_model
-from cdsegnet_tpu.models.structure import make_point_batch
-
-import jax.numpy as jnp
 
 
 def load_state(cfg, checkpoint: str):
-    model = build_model(dict(cfg.model))
-    n = cfg.get("bucket_num_points", 204800)
-    feat_dim = cfg.get("feat_dim", 6)
-    point = make_point_batch(
-        coord=jnp.zeros((n, 3)),
-        feat=jnp.zeros((n, feat_dim)),
-        grid_coord=jnp.zeros((n, 3), jnp.int32),
-        batch=jnp.zeros((n,), jnp.int32),
-        mask=jnp.zeros((n,), bool).at[: n // 2].set(True),
-        segment=jnp.zeros((n,), jnp.int32),
-        depth=cfg.get("serialization_depth", 16),
-        num_scenes=cfg.get("scenes_per_device", 2),
-    )
-    rngs = dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
-                shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3))
-    variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
-    state = TrainState.create(variables, tx=_null_tx(), rng=jax.random.PRNGKey(0))
+    """Build the SERVING model and load any-layout checkpoint into it.
+
+    Training uses the unrolled block layout (fastest step, fits HBM without
+    whole-graph remat — configs/scannet/cdsegnet.py); serving uses the
+    scanned layout (~10x faster fresh compile, DESIGN §11). The checkpoint
+    is restored without a target tree and converted to the serving layout
+    (`utils.params.convert_to_layout`), so one checkpoint serves both. The
+    reference has a single torch layout (`engines/test.py:58-87` load path).
+    """
+    model_cfg = dict(cfg.model)
+    serve_scan = bool(cfg.get("serve_scan_blocks", True))
+    if isinstance(model_cfg.get("backbone"), dict) and (
+        "scan_blocks" in model_cfg["backbone"]
+        or model_cfg["backbone"].get("type", "").startswith("PT-v3")
+    ):
+        model_cfg["backbone"] = dict(
+            model_cfg["backbone"], scan_blocks=serve_scan,
+            # serving never takes a backward pass; remat only slows it down
+            remat_blocks=False,
+        )
+    model = build_model(model_cfg)
     mgr = CheckpointManager(os.path.join(cfg.get("save_path", "exp/default"), "model"))
-    restored = mgr.restore(state, checkpoint)
-    if restored is None:
+    raw = mgr.restore_raw(checkpoint)
+    if raw is None:
         raise FileNotFoundError(f"checkpoint {checkpoint!r} not found")
-    return model, restored
+    from cdsegnet_tpu.utils.params import convert_to_layout
+
+    params = convert_to_layout(
+        raw["params"], "scanned" if serve_scan else "unrolled"
+    )
+    state = TrainState(
+        step=raw.get("step", 0),
+        params=params,
+        batch_stats=raw.get("batch_stats", {}),
+        opt_state=_null_tx().init(params),
+        rng=jax.random.PRNGKey(0),
+    )
+    return model, state
 
 
 def _null_tx():
