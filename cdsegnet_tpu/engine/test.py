@@ -8,6 +8,16 @@ benchmark submission files are written.
 
 TPU adaptations: fragments are padded into a small set of static buckets so
 each bucket size compiles once; votes accumulate host-side in numpy.
+
+Multi-chip testing: the reference distributes scenes across DDP ranks via
+a DistributedSampler and gathers per-scene records
+(`pointcept/engines/test.py:91-94,372-414`). The single-controller TPU
+equivalent is FRAGMENT-parallel inference over the device mesh: fragments
+stream (in scene order) into per-bucket groups of `num_devices`, each group
+runs one shard_mapped SSI forward (one fragment per chip over ICI), and the
+controller scatters the resulting probabilities back into each scene's
+full-resolution vote buffer. Per-fragment numerics (noise keys, padding)
+are identical to the single-device path, so per-scene records match.
 """
 
 from __future__ import annotations
@@ -18,12 +28,14 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from cdsegnet_tpu.data.collate import collate_scenes, pick_bucket
 from cdsegnet_tpu.data.datasets import build_dataset
-from cdsegnet_tpu.engine.state import batch_to_point
+from cdsegnet_tpu.engine.state import _shard_map, batch_to_point
 from cdsegnet_tpu.models.builder import build_model
 from cdsegnet_tpu.models.segmentor import CNFSegmentor, PlainSegmentor
+from cdsegnet_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from cdsegnet_tpu.utils.logger import get_root_logger
 from cdsegnet_tpu.utils.misc import intersection_and_union
 from cdsegnet_tpu.utils.registry import Registry
@@ -31,6 +43,50 @@ from cdsegnet_tpu.utils.registry import Registry
 TESTERS = Registry("testers")
 
 DEFAULT_BUCKETS = tuple(1024 * (1 << i) for i in range(4, 11))  # 16k..1M
+
+
+def make_sharded_infer_fn(model, depth: int, mesh, model_kwargs=None):
+    """Fragment-parallel forward: one fragment per device over ``mesh``.
+
+    Takes stacked ``(D, ...)`` batch/noise/rng arrays, returns ``(D, n, K)``
+    logits. Each shard runs exactly the single-device program (geometry
+    pyramid + SSI forward, or the generic eval forward), so outputs are
+    device-wise identical to sequential inference.
+    """
+    model_kwargs = model_kwargs or {}
+    is_cnf = isinstance(model, CNFSegmentor)
+    has_geom = hasattr(getattr(model, "backbone", None), "precompute_geometry")
+
+    def one(variables, batch, noise, rng):
+        point = batch_to_point(batch, depth, 1)
+        if is_cnf:
+            if has_geom:
+                geometry = model.backbone.precompute_geometry(point)
+                return model.apply(
+                    variables, point, noise, geometry,
+                    method=CNFSegmentor.inference,
+                )["seg_logits"]
+            return model.apply(
+                variables, point, noise, method=CNFSegmentor.inference
+            )["seg_logits"]
+        out = model.apply(
+            variables, point, train=False, rngs=dict(diffusion=rng),
+            **model_kwargs,
+        )
+        if not isinstance(out, dict):
+            return out.feat
+        return out.get("seg_logits", out["n_pred"])
+
+    def sharded(variables, batch, noise, rng):
+        local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return one(variables, local, noise[0], rng[0])[None]
+
+    f = _shard_map(
+        sharded, mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
+    return jax.jit(f)
 
 
 @TESTERS.register_module("SemSegTester")
@@ -48,9 +104,14 @@ class SemSegTester:
         self.noise_level = cfg.get("noise_level", None)
         self.save_path = cfg.get("save_path", "exp/default")
         self._jit_cache: Dict[int, callable] = {}
+        self._sharded = None
         self._ddim_step = None
         self._geom = None
         self._ddim_trace_count = 0  # observability: one trace per bucket shape
+        # fragment-parallel inference over the local mesh (SSI only; DDIM
+        # loops stay sequential). cfg.num_devices=1 forces single-device.
+        nd = cfg.get("num_devices") or jax.local_device_count()
+        self.mesh = make_mesh(nd) if nd > 1 else None
 
     def _ddim_step_fn(self):
         """One persistent jitted DDIM step, shape-specialized per bucket by
@@ -138,8 +199,9 @@ class SemSegTester:
             "batch_stats": self.state.batch_stats,
         }
 
-    def predict_fragment(self, frag: Dict, rng: jax.Array) -> np.ndarray:
-        """Softmax probabilities for one fragment (n_frag, num_classes)."""
+    def _prepare_fragment(self, frag: Dict, rng: jax.Array):
+        """Collate one fragment + draw its noise (identical numerics on the
+        sequential and the fragment-parallel paths)."""
         n_frag = frag["coord"].shape[0]
         bucket = pick_bucket(n_frag, self.buckets)
         batch = collate_scenes([frag], bucket, 1)
@@ -150,7 +212,20 @@ class SemSegTester:
                 jax.random.normal(noise_rng, batch["feat"].shape)
             )
         c_in = getattr(self.model, "c_in_channels", batch["feat"].shape[-1])
-        noise = jax.random.normal(rng, (bucket, c_in), jnp.float32)
+        noise = np.asarray(jax.random.normal(rng, (bucket, c_in), jnp.float32))
+        return bucket, n_frag, batch, noise, rng
+
+    def _sharded_fn(self):
+        if self._sharded is None:
+            self._sharded = make_sharded_infer_fn(
+                self.model, self.depth, self.mesh,
+                dict(self.cfg.get("model_kwargs", {}) or {}),
+            )
+        return self._sharded
+
+    def predict_fragment(self, frag: Dict, rng: jax.Array) -> np.ndarray:
+        """Softmax probabilities for one fragment (n_frag, num_classes)."""
+        bucket, n_frag, batch, noise, rng = self._prepare_fragment(frag, rng)
         if self.inference_mode == "SSI":
             logits = self._infer_fn(bucket)(
                 self._variables(), batch, noise, rng
@@ -176,47 +251,120 @@ class SemSegTester:
         probs = jax.nn.softmax(np.asarray(logits)[:n_frag], axis=-1)
         return np.asarray(probs)
 
+    def _finalize_scene(self, ds, name: str, pred: np.ndarray,
+                        segment: np.ndarray):
+        """Meters + per-scene record + log + submission for one finished
+        scene (reference `test.py:278-299,372-414`; records are gathered on
+        the single controller by construction — no gloo gather needed)."""
+        cfg = self.cfg
+        i, u, t = intersection_and_union(
+            pred, segment, cfg.data.num_classes, cfg.get("ignore_index", -1)
+        )
+        self._inter_sum += i
+        self._union_sum += u
+        self._target_sum += t
+        self.records[name] = dict(intersection=i, union=u, target=t)
+        self._scene_done += 1
+        if self.verbose:
+            miou_scene = float(np.mean(i / np.maximum(u, 1)))
+            self.logger.info(
+                f"Test [{self._scene_done}/{self._scene_total}] {name}: "
+                f"scene mIoU {miou_scene:.4f}"
+            )
+        if cfg.get("submission", False):
+            self.write_submission(ds, name, pred)
+
+    def _flush_group(self, entries: List[Dict], scenes_acc: Dict, ds,
+                     save_dir: str):
+        """Run one fragment-per-device shard_mapped forward over a group.
+
+        Short groups are padded by repeating the last fragment (its padded
+        outputs are discarded)."""
+        d = int(self.mesh.devices.size)
+        all_e = entries + [entries[-1]] * (d - len(entries))
+        batch = {
+            k: np.stack([e["batch"][k] for e in all_e])
+            for k in all_e[0]["batch"]
+        }
+        noise = np.stack([e["noise"] for e in all_e])
+        rngs = np.stack([np.asarray(e["rng"]) for e in all_e])
+        logits = np.asarray(
+            self._sharded_fn()(self._variables(), batch, noise, rngs)
+        )
+        for i, e in enumerate(entries):
+            probs = np.asarray(
+                jax.nn.softmax(logits[i][: e["n_frag"]].astype(np.float32),
+                               axis=-1)
+            )
+            acc = scenes_acc[e["name"]]
+            acc["votes"][e["index"]] += probs
+            acc["remaining"] -= 1
+            if acc["remaining"] == 0:
+                pred = acc["votes"].argmax(-1)
+                np.save(os.path.join(save_dir, f"{e['name']}_pred.npy"), pred)
+                self._finalize_scene(ds, e["name"], pred, acc["segment"])
+                del scenes_acc[e["name"]]
+
     def test(self) -> Optional[float]:
         cfg = self.cfg
         ds = build_dataset(dict(cfg.data.test))
         num_classes = cfg.data.num_classes
         save_dir = os.path.join(self.save_path, "result")
         os.makedirs(save_dir, exist_ok=True)
-        inter_sum = np.zeros(num_classes)
-        union_sum = np.zeros(num_classes)
-        target_sum = np.zeros(num_classes)
+        self._inter_sum = np.zeros(num_classes)
+        self._union_sum = np.zeros(num_classes)
+        self._target_sum = np.zeros(num_classes)
+        self._scene_done = 0
+        self._scene_total = len(ds)
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
         np_rng = np.random.default_rng(cfg.get("seed", 0))
-        records = {}
+        self.records = {}
+        grouped = self.mesh is not None and self.inference_mode == "SSI"
+        pending: Dict[int, List[Dict]] = {}
+        scenes_acc: Dict[str, Dict] = {}
         for idx in range(len(ds)):
             scene = ds.get(idx, np_rng)
             name = scene["name"]
             segment = scene["segment"]
             cache = os.path.join(save_dir, f"{name}_pred.npy")
             if os.path.isfile(cache):
-                pred = np.load(cache)
-            else:
+                self._finalize_scene(ds, name, np.load(cache), segment)
+                continue
+            if not grouped:
                 votes = np.zeros((segment.size, num_classes), np.float32)
                 for frag in scene["fragment_list"]:
                     rng, sub = jax.random.split(rng)
-                    probs = self.predict_fragment(frag, sub)
-                    votes[frag["index"]] += probs
+                    votes[frag["index"]] += self.predict_fragment(frag, sub)
                 pred = votes.argmax(-1)
                 np.save(cache, pred)
-            i, u, t = intersection_and_union(
-                pred, segment, num_classes, cfg.get("ignore_index", -1)
+                self._finalize_scene(ds, name, pred, segment)
+                continue
+            # fragment-parallel: enqueue this scene's fragments; groups
+            # flush as they fill (scenes stream through in order)
+            scenes_acc[name] = dict(
+                votes=np.zeros((segment.size, num_classes), np.float32),
+                remaining=len(scene["fragment_list"]),
+                segment=segment,
             )
-            inter_sum += i
-            union_sum += u
-            target_sum += t
-            miou_scene = float(np.mean(i / np.maximum(u, 1)))
-            records[name] = dict(intersection=i, union=u, target=t)
-            if self.verbose:
-                self.logger.info(
-                    f"Test [{idx + 1}/{len(ds)}] {name}: scene mIoU {miou_scene:.4f}"
+            for frag in scene["fragment_list"]:
+                rng, sub = jax.random.split(rng)
+                bucket, n_frag, batch, noise, sub = self._prepare_fragment(
+                    frag, sub
                 )
-            if cfg.get("submission", False):
-                self.write_submission(ds, name, pred)
+                pending.setdefault(bucket, []).append(dict(
+                    name=name, n_frag=n_frag, index=frag["index"],
+                    batch=batch, noise=noise, rng=sub,
+                ))
+                if len(pending[bucket]) == int(self.mesh.devices.size):
+                    self._flush_group(
+                        pending.pop(bucket), scenes_acc, ds, save_dir
+                    )
+        for bucket in sorted(pending):
+            self._flush_group(pending.pop(bucket), scenes_acc, ds, save_dir)
+        assert not scenes_acc, f"unfinished scenes: {list(scenes_acc)}"
+        inter_sum, union_sum, target_sum = (
+            self._inter_sum, self._union_sum, self._target_sum
+        )
         iou = inter_sum / np.maximum(union_sum, 1)
         acc = inter_sum / np.maximum(target_sum, 1)
         miou = float(iou.mean())

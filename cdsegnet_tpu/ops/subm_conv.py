@@ -89,6 +89,66 @@ def subm_conv_apply(
     return out
 
 
+def _dual_gather_matmul(feat_cat, neighbor_idx, weight_a, weight_b,
+                        accum_dtype):
+    """ONE neighbor gather of concatenated branch channels, then one MXU
+    contraction per branch on its channel slice.
+
+    Unlike the block-diagonal trick (`dual_subm_conv_apply`) this adds no
+    FLOPs: the per-branch matmul contracts only that branch's slice
+    (27*(Ca^2 + Cb^2) vs the block-diagonal 27*(Ca+Cb)^2 — 1.5x more at the
+    512/128 bottleneck widths). The gather fetches rows of width Ca+Cb —
+    2x the bytes per row of a single-branch gather, which is the round-4
+    roofline's prescription: the SSI step is gather-efficiency bound on
+    64-128 B rows (DESIGN §13), so fewer, wider gathers run closer to HBM
+    speed. Reference hot path: two separate spconv calls per branch pair
+    (`point_transformer_v3m1_base.py:355-365`)."""
+    n = feat_cat.shape[0]
+    k = neighbor_idx.shape[1]
+    ca = weight_a.shape[1]
+    g = jnp.take(
+        feat_cat, neighbor_idx.reshape(-1), axis=0, mode="fill", fill_value=0
+    ).reshape(n, k, feat_cat.shape[1])
+    ga = g[:, :, :ca].reshape(n, k * ca)
+    gb = g[:, :, ca:].reshape(n, k * (feat_cat.shape[1] - ca))
+    wa = weight_a.reshape(k * ca, weight_a.shape[2]).astype(feat_cat.dtype)
+    wb = weight_b.reshape(gb.shape[1], weight_b.shape[2]).astype(feat_cat.dtype)
+    out_a = jnp.dot(ga, wa, preferred_element_type=accum_dtype)
+    out_b = jnp.dot(gb, wb, preferred_element_type=accum_dtype)
+    return out_a.astype(feat_cat.dtype), out_b.astype(feat_cat.dtype)
+
+
+#: checkpoint: recompute the (N, K, Ca+Cb) gather in backward instead of
+#: storing it (same rationale as `_gather_matmul_remat`)
+_dual_gather_matmul_remat = functools.partial(
+    jax.checkpoint, static_argnums=(4,)
+)(_dual_gather_matmul)
+
+
+def dual_subm_conv_sliced(
+    feat_a: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    neighbor_idx: jnp.ndarray,
+    weight_a: jnp.ndarray,
+    weight_b: jnp.ndarray,
+    bias_a: jnp.ndarray | None = None,
+    bias_b: jnp.ndarray | None = None,
+    accum_dtype: jnp.dtype = jnp.float32,
+    remat_gather: bool = True,
+):
+    """Two submanifold convs over the SAME neighbor table with ONE gather
+    (slice-matmul form; see `_dual_gather_matmul`). Used by the fused
+    dual-branch xCPE path of `models.ptv3.DualBlock`."""
+    cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
+    fn = _dual_gather_matmul_remat if remat_gather else _dual_gather_matmul
+    out_a, out_b = fn(cat, neighbor_idx, weight_a, weight_b, accum_dtype)
+    if bias_a is not None:
+        out_a = out_a + bias_a.astype(out_a.dtype)
+    if bias_b is not None:
+        out_b = out_b + bias_b.astype(out_b.dtype)
+    return out_a, out_b
+
+
 def dual_subm_conv_apply(
     feat_a: jnp.ndarray,
     feat_b: jnp.ndarray,
