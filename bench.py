@@ -324,6 +324,9 @@ def main():
     scan = os.environ.get("CDSEG_SCAN")  # "0" unrolls block stacks
     if scan is not None:
         cfg["backbone"]["scan_blocks"] = scan != "0"
+    fuse = os.environ.get("CDSEG_FUSE")  # "0" disables dual-gather fusion
+    if fuse is not None:
+        cfg["backbone"]["fuse_dual_gathers"] = fuse != "0"
 
     result = dict(
         metric="ssi_points_per_sec_per_chip",

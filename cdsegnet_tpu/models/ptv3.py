@@ -220,6 +220,203 @@ class Block(nn.Module):
         return point.replace(feat=feat)
 
 
+class _ConvParams(nn.Module):
+    """Param container for one branch's xCPE conv (names match `SubMConv`,
+    so fused/unfused layouts convert by pure renaming)."""
+
+    kernel_volume: int
+    in_channels: int
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.kernel_volume, self.in_channels, self.out_channels),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,),
+                jnp.float32,
+            )
+            if self.use_bias
+            else None
+        )
+        return weight, bias
+
+
+class _AttnHalf(nn.Module):
+    """One branch's attention over PRE-GATHERED sorted features (the
+    serialization-order gather is shared across branches by `DualBlock`).
+    Submodule names match `SerializedAttention` (qkv/proj)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_s, bs, ms):
+        from cdsegnet_tpu.ops.pallas.flash_attention import attention_impl
+
+        c, h = self.channels, self.num_heads
+        d = c // h
+        n = feat_s.shape[0]
+        k = min(self.patch_size, n)
+        scale = self.qk_scale or d**-0.5
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(feat_s).reshape(n, 3, h, d)
+        attn_fn = attention_impl(self.use_pallas)
+        out = attn_fn(
+            qkv[:, 0], qkv[:, 1], qkv[:, 2], bs, ms, k, scale,
+            upcast_softmax=self.upcast_softmax,
+        )
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(n, c))
+
+
+class DualBlock(nn.Module):
+    """One n-branch + one c-branch `Block` at the SAME pyramid level with
+    FUSED gathers (round-4 verdict #2 / DESIGN §13 gather attack).
+
+    The two branches walk the same geometry, and paired blocks use the same
+    curve order, so the three data-dependent gathers of a block pair —
+    the (N, 27) xCPE neighbor gather, the serialization-order gather, and
+    the inverse scatter-back — each run ONCE over rows of width Cn+Cc
+    instead of twice over narrower rows. Per-branch compute (Dense, norms,
+    attention, MLP) is untouched, so outputs are bitwise those of the two
+    separate Blocks (pinned by `test_dual_block_fusion_parity`). Reference
+    hot path runs the branches' spconv/flash-attn calls independently
+    (`point_transformer_v3m1_base.py:282-289,355-365,1785-1794`).
+    """
+
+    n_channels: int
+    c_channels: int
+    n_num_heads: int
+    c_num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    t_dim: int = -1
+    upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+    remat_gather: bool = True
+
+    def _res(self, shortcut, f, rate, deterministic):
+        static_zero = isinstance(rate, (int, float)) and float(rate) == 0.0
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and not static_zero)
+            else None
+        )
+        return shortcut + drop_path(f, rate, rng, deterministic)
+
+    @nn.compact
+    def __call__(self, n_point: PointBatch, c_point: PointBatch,
+                 deterministic: bool = True, order_index=None,
+                 n_drop=0.0, c_drop=0.0):
+        from cdsegnet_tpu.ops.subm_conv import dual_subm_conv_sliced
+
+        cn, cc = self.n_channels, self.c_channels
+        # ---- fused xCPE: ONE (N, 27) gather serves both branches ----
+        wn, bn = _ConvParams(27, cn, cn, name="n_cpe_conv")()
+        wc, bc = _ConvParams(27, cc, cc, name="c_cpe_conv")()
+        fn_, fc_ = dual_subm_conv_sliced(
+            n_point.feat.astype(self.dtype), c_point.feat.astype(self.dtype),
+            n_point.neighbor_idx, wn, wc, bn, bc,
+            remat_gather=self.remat_gather,
+        )
+        fn_ = nn.Dense(cn, dtype=self.dtype, name="n_cpe_fc")(fn_)
+        fn_ = LayerNorm(cn, dtype=self.dtype, name="n_cpe_norm")(fn_)
+        n_feat = n_point.feat + fn_
+        n_short = n_feat
+        fc_ = nn.Dense(cc, dtype=self.dtype, name="c_cpe_fc")(fc_)
+        fc_ = LayerNorm(cc, dtype=self.dtype, name="c_cpe_norm")(fc_)
+        c_feat = c_point.feat + fc_
+        c_short = c_feat
+
+        # ---- c-branch timestep injection (reference `:396-397,406-411`) ----
+        if self.t_dim != -1 and c_point.t_emb is not None:
+            t = nn.Dense(cc, dtype=self.dtype, name="c_t_mlp")(c_point.t_emb)
+            c_feat = c_short + t
+            c_short = c_feat
+
+        # ---- fused attention order/inverse gathers ----
+        oi = 0 if order_index is None else order_index
+        order = n_point.orders[oi]
+        inverse = n_point.inverses[oi]
+        if n_point.batch_sorted is not None:
+            bs, ms = n_point.batch_sorted[oi], n_point.mask_sorted[oi]
+        else:
+            bs = jnp.take(n_point.batch, order)
+            ms = jnp.take(n_point.mask, order)
+        nn1 = LayerNorm(cn, dtype=self.dtype, name="n_norm1")(n_feat)
+        cn1 = LayerNorm(cc, dtype=self.dtype, name="c_norm1")(c_feat)
+        cat_s = jnp.take(
+            jnp.concatenate([nn1, cn1], axis=-1), order, axis=0
+        )  # ONE order gather, width Cn+Cc
+        n_out_s = _AttnHalf(
+            channels=cn, num_heads=self.n_num_heads,
+            patch_size=self.patch_size, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, upcast_softmax=self.upcast_softmax,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="n_attn",
+        )(cat_s[:, :cn], bs, ms)
+        c_out_s = _AttnHalf(
+            channels=cc, num_heads=self.c_num_heads,
+            patch_size=self.patch_size, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, upcast_softmax=self.upcast_softmax,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="c_attn",
+        )(cat_s[:, cn:], bs, ms)
+        out = jnp.take(
+            jnp.concatenate([n_out_s, c_out_s], axis=-1), inverse, axis=0
+        )  # ONE inverse gather
+        drop = nn.Dropout(self.proj_drop)
+        n_att = drop(out[:, :cn], deterministic=deterministic)
+        c_att = drop(out[:, cn:], deterministic=deterministic)
+        n_feat = self._res(n_short, n_att, n_drop, deterministic)
+        c_feat = self._res(c_short, c_att, c_drop, deterministic)
+
+        # ---- per-branch MLP ----
+        f = LayerNorm(cn, dtype=self.dtype, name="n_norm2")(n_feat)
+        f = Mlp(hidden=int(cn * self.mlp_ratio), out=cn, drop=self.proj_drop,
+                dtype=self.dtype, name="n_mlp")(f, deterministic)
+        n_feat = self._res(n_feat, f, n_drop, deterministic)
+        f = LayerNorm(cc, dtype=self.dtype, name="c_norm2")(c_feat)
+        f = Mlp(hidden=int(cc * self.mlp_ratio), out=cc, drop=self.proj_drop,
+                dtype=self.dtype, name="c_mlp")(f, deterministic)
+        c_feat = self._res(c_feat, f, c_drop, deterministic)
+        return n_point.replace(feat=n_feat), c_point.replace(feat=c_feat)
+
+
+class _ScannedDualBlock(nn.Module):
+    """`nn.scan` body over paired dual-branch blocks: carry = the two
+    feature arrays; level geometry rides as `nn.broadcast` (see
+    `_ScannedBlock` for the memory rationale)."""
+
+    block_kwargs: Any
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, n_point, c_point, order_index, n_drop, c_drop):
+        n_feat, c_feat = carry
+        npt, cpt = DualBlock(**self.block_kwargs, name="block")(
+            n_point.replace(feat=n_feat), c_point.replace(feat=c_feat),
+            self.deterministic, order_index=order_index,
+            n_drop=n_drop, c_drop=c_drop,
+        )
+        return (npt.feat, cpt.feat), ()
+
+
 class _ScannedBlock(nn.Module):
     """`nn.scan` body: one `Block` consuming per-depth data.
 
@@ -733,6 +930,13 @@ class PointTransformerV3(nn.Module):
     # matmul outputs resident instead of recomputing them — less recompute
     # for more activation memory; None = save nothing (full recompute)
     remat_policy: Optional[str] = None
+    # fuse the two branches' per-block gathers (xCPE neighbor gather,
+    # serialization-order gather, inverse gather) into single wide-row
+    # gathers wherever both branches run blocks at the same pyramid level
+    # (DESIGN §13: the SSI step is gather-efficiency bound). Bitwise
+    # equivalent to the unfused schedule; applies only to the conditional
+    # dual-branch model, and is unsupported with enable_rpe.
+    fuse_dual_gathers: bool = True
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -782,14 +986,15 @@ class PointTransformerV3(nn.Module):
         return level.point.replace(feat=feat, t_emb=t_emb)
 
     def _run_blocks(self, name, point, depth, deterministic, dp_rates,
-                    block_cls, **bk):
+                    block_cls, start=0, **bk):
         """Run ``depth`` uniform Blocks over ``point``.
 
         ``scan_blocks`` rolls the run with `nn.scan` (one compiled body per
         stage instead of per block — the dominant trace/compile cost of the
         10-stage architecture); otherwise unrolls with per-block modules.
         ``dp_rates`` is the per-depth stochastic-depth schedule, already in
-        application order."""
+        application order. ``start`` offsets the curve-order cycle (used by
+        the n-only tail blocks after a fused dual run)."""
         # when blocks are remat'd, the whole body already recomputes in
         # backward — a nested gather checkpoint would recompute twice
         bk.setdefault("remat_gather", not self.remat_blocks)
@@ -797,7 +1002,7 @@ class PointTransformerV3(nn.Module):
         if not self.scan_blocks or depth == 1:
             for i in range(depth):
                 point = block_cls(
-                    **bk, order_index=i % n_orders,
+                    **bk, order_index=(start + i) % n_orders,
                     drop_path_rate=float(dp_rates[i]), name=f"{name}{i}",
                 )(point, deterministic)
             return point
@@ -815,10 +1020,58 @@ class PointTransformerV3(nn.Module):
             in_axes=(nn.broadcast, 0, 0),
             length=depth,
         )(block_kwargs=bk, deterministic=deterministic, name=f"{name}s")
-        oi = jnp.arange(depth, dtype=jnp.int32) % n_orders
+        oi = (start + jnp.arange(depth, dtype=jnp.int32)) % n_orders
         dr = jnp.asarray(np.asarray(dp_rates, np.float32))
         feat, _ = stack(point.feat, point, oi, dr)
         return point.replace(feat=feat)
+
+    def _run_dual_blocks(self, name, npt, cpt, depth, deterministic,
+                         n_dp, c_dp, **bk):
+        """Run ``depth`` PAIRED DualBlocks (n + c at one pyramid level with
+        fused gathers); scan/remat/unroll semantics mirror `_run_blocks`."""
+        bk.setdefault("remat_gather", not self.remat_blocks)
+        n_orders = len(self.orders)
+        if not self.scan_blocks or depth == 1:
+            cls = DualBlock
+            if self.remat_blocks:
+                policy = (
+                    getattr(jax.checkpoint_policies, self.remat_policy)
+                    if self.remat_policy else None
+                )
+                # (self, n_point, c_point, deterministic, order_index,
+                #  n_drop, c_drop): everything after the two PointBatches is
+                # a static Python scalar in the unrolled schedule
+                cls = nn.remat(
+                    DualBlock, static_argnums=(3, 4, 5, 6), policy=policy
+                )
+            for i in range(depth):
+                npt, cpt = cls(**bk, name=f"{name}{i}")(
+                    npt, cpt, deterministic, i % n_orders,
+                    float(n_dp[i]), float(c_dp[i]),
+                )
+            return npt, cpt
+        body = _ScannedDualBlock
+        if self.remat_blocks:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            body = nn.remat(_ScannedDualBlock, prevent_cse=False,
+                            policy=policy)
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, 0, 0, 0),
+            length=depth,
+        )(block_kwargs=bk, deterministic=deterministic, name=f"{name}s")
+        oi = jnp.arange(depth, dtype=jnp.int32) % n_orders
+        (n_feat, c_feat), _ = stack(
+            (npt.feat, cpt.feat), npt, cpt, oi,
+            jnp.asarray(np.asarray(n_dp, np.float32)),
+            jnp.asarray(np.asarray(c_dp, np.float32)),
+        )
+        return npt.replace(feat=n_feat), cpt.replace(feat=c_feat)
 
     @nn.compact
     def __call__(
@@ -891,6 +1144,11 @@ class PointTransformerV3(nn.Module):
                 self.n_in_channels, self.n_enc_channels[0], dtype=self.dtype,
                 name="n_embedding",
             )(npt, stem_nbr, train)
+
+        if self.condition and self.fuse_dual_gathers and not self.enable_rpe:
+            return self._forward_fused(
+                npt, cpt, levels, t, train, deterministic, BlockCls
+            )
 
         # ---- n encoder ----
         n_dp = list(np.linspace(0, self.drop_path, sum(self.n_enc_depths)))
@@ -1049,4 +1307,219 @@ class PointTransformerV3(nn.Module):
         c_out = nn.Dense(self.c_in_channels, dtype=jnp.float32, name="c_head")(
             c_feat.astype(jnp.float32)
         )
+        return cpt.replace(feat=c_out), npt.replace(feat=n_logits)
+
+    def _forward_fused(self, npt, cpt, levels, t, train, deterministic,
+                       BlockCls):
+        # NOTE: called from inside `__call__`'s @nn.compact context —
+        # submodules created here live in the module's single compact scope.
+        """Dual-branch forward with per-level FUSED gathers (DESIGN §14).
+
+        Schedules the two encoders stage-by-stage: wherever the c-branch
+        runs blocks at the same pyramid level as an n-branch stage (c
+        strides (4, 4) visit n levels 0/2/4), paired blocks run as
+        `DualBlock`s sharing their three gathers; surplus n depth (4 of the
+        6 level-4 blocks) runs as plain Blocks continuing the curve-order
+        cycle. Decoders pair at levels 2 and 0. Block-for-block computation
+        and the per-branch curve-order schedules are identical to the
+        unfused interleaving (reference `:1785-1808`), pinned by
+        `test_dual_fusion_parity`."""
+
+        def nbk(s, dec=False):
+            return dict(
+                channels=(list(self.n_dec_channels)
+                          + [self.n_enc_channels[-1]])[s]
+                if dec else self.n_enc_channels[s],
+                num_heads=(self.n_dec_num_head if dec
+                           else self.n_enc_num_head)[s],
+                patch_size=(self.n_dec_patch_size if dec
+                            else self.n_enc_patch_size)[s],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                enable_rpe=False, upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
+
+        def cbk(cs, dec=False):
+            return dict(
+                channels=(list(self.c_dec_channels)
+                          + [self.c_enc_channels[-1]])[cs]
+                if dec else self.c_enc_channels[cs],
+                num_heads=(self.c_dec_num_head if dec
+                           else self.c_enc_num_head)[cs],
+                patch_size=(self.c_dec_patch_size if dec
+                            else self.c_enc_patch_size)[cs],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                t_dim=self.t_dim, enable_rpe=False,
+                upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
+
+        def dualbk(n_ch, c_ch, n_heads, c_heads, patch):
+            return dict(
+                n_channels=n_ch, c_channels=c_ch, n_num_heads=n_heads,
+                c_num_heads=c_heads, patch_size=patch,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+                t_dim=self.t_dim, upcast_softmax=self.upcast_softmax,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+            )
+
+        # ---- co-scheduled encoders ----
+        n_dp = list(np.linspace(0, self.drop_path, sum(self.n_enc_depths)))
+        c_dp = list(np.linspace(0, self.drop_path, sum(self.c_enc_depths)))
+        cs_of_level = {sh: i for i, sh in enumerate(self.c_shifts)}
+        n_skips, c_skips = [], []
+        for s in range(len(self.n_enc_depths)):
+            if s > 0:
+                lo, hi = self.n_shifts[s - 1], self.n_shifts[s]
+                feat = PoolingProj(
+                    self.n_enc_channels[s - 1], self.n_enc_channels[s],
+                    dtype=self.dtype, name=f"n_enc{s}_down",
+                )(npt.feat, levels, lo, hi, levels[hi].point.mask, train)
+                npt = self._attach(None, levels[hi], feat)
+            lvl = self.n_shifts[s]
+            cs = cs_of_level.get(lvl)
+            if cs is not None and cs > 0:
+                clo, chi = self.c_shifts[cs - 1], self.c_shifts[cs]
+                feat = PoolingProj(
+                    self.c_enc_channels[cs - 1], self.c_enc_channels[cs],
+                    dtype=self.dtype, name=f"c_enc{cs}_down",
+                )(cpt.feat, levels, clo, chi, levels[chi].point.mask, train)
+                t_lvl = None
+                if t is not None:
+                    te = cpt.t_emb
+                    for l in range(clo + 1, chi + 1):
+                        te = pyr.pool_head_gather(te, levels[l])
+                    t_lvl = te
+                cpt = self._attach(None, levels[chi], feat, t_emb=t_lvl)
+            d0, nd = sum(self.n_enc_depths[:s]), self.n_enc_depths[s]
+            if cs is None:
+                npt = self._run_blocks(
+                    f"n_enc{s}_block", npt, nd, deterministic,
+                    n_dp[d0: d0 + nd], BlockCls, **nbk(s),
+                )
+            else:
+                cd0 = sum(self.c_enc_depths[:cs])
+                cd = self.c_enc_depths[cs]
+                paired = min(nd, cd)
+                assert (self.n_enc_patch_size[s]
+                        == self.c_enc_patch_size[cs]), "fused patch mismatch"
+                npt, cpt = self._run_dual_blocks(
+                    f"enc_dual{lvl}_block", npt, cpt, paired, deterministic,
+                    n_dp[d0: d0 + paired], c_dp[cd0: cd0 + paired],
+                    **dualbk(self.n_enc_channels[s], self.c_enc_channels[cs],
+                             self.n_enc_num_head[s], self.c_enc_num_head[cs],
+                             self.n_enc_patch_size[s]),
+                )
+                if nd > paired:
+                    npt = self._run_blocks(
+                        f"n_enc{s}_block", npt, nd - paired, deterministic,
+                        n_dp[d0 + paired: d0 + nd], BlockCls, start=paired,
+                        **nbk(s),
+                    )
+                if cd > paired:
+                    cpt = self._run_blocks(
+                        f"c_enc{cs}_block", cpt, cd - paired, deterministic,
+                        c_dp[cd0 + paired: cd0 + cd], BlockCls, start=paired,
+                        **cbk(cs),
+                    )
+            if s < len(self.n_enc_depths) - 1:
+                n_skips.append(npt.feat)
+            if cs is not None and cs < len(self.c_enc_depths) - 1:
+                c_skips.append(cpt.feat)
+
+        # ---- transfer module (identical to the unfused path) ----
+        cpt, npt = TransferModule(
+            q_channels=self.n_enc_channels[-1],
+            kv_channels=self.c_enc_channels[-1],
+            q_num_heads=self.n_enc_num_head[-1],
+            kv_num_heads=self.c_enc_num_head[-1],
+            patch_size=self.n_enc_patch_size[-1],
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, proj_drop=self.proj_drop,
+            drop_path_rate=float(c_dp[2] if len(c_dp) > 2 else 0.0),
+            bidirectional=self.tm_bidirectional, tm_feat=self.tm_feat,
+            tm_restomer=self.tm_restomer,
+            upcast_softmax=self.upcast_softmax, dtype=self.dtype,
+            name="tm_dec0",
+        )(cpt, npt, deterministic)
+
+        # ---- co-scheduled decoders ----
+        n_dec_ch = list(self.n_dec_channels) + [self.n_enc_channels[-1]]
+        c_dec_ch = list(self.c_dec_channels) + [self.c_enc_channels[-1]]
+        n_ddp = list(np.linspace(0, self.drop_path, sum(self.n_dec_depths)))
+        c_ddp = list(np.linspace(0, self.drop_path, sum(self.c_dec_depths)))
+        cs_dec_of_level = {
+            self.c_shifts[i]: i for i in range(len(self.c_enc_depths) - 1)
+        }
+        n_feat, c_feat, c_t = npt.feat, cpt.feat, cpt.t_emb
+        for s in reversed(range(len(self.n_enc_depths) - 1)):
+            hi, lo = self.n_shifts[s + 1], self.n_shifts[s]
+            n_feat = UnpoolingProj(
+                n_dec_ch[s + 1], self.n_enc_channels[s], n_dec_ch[s],
+                mode=self.n_skip_mode,
+                freeu_b=float(self.b_factor[s]),
+                freeu_s=float(self.s_factor[s]),
+                dtype=self.dtype, name=f"n_dec{s}_up",
+            )(n_feat, n_skips[s], levels, hi, lo, levels[lo].point.mask, train)
+            npt = self._attach(None, levels[lo], n_feat)
+            cs = cs_dec_of_level.get(lo)
+            if cs is not None:
+                chi, clo = self.c_shifts[cs + 1], self.c_shifts[cs]
+                c_feat = UnpoolingProj(
+                    c_dec_ch[cs + 1], self.c_enc_channels[cs], c_dec_ch[cs],
+                    mode=self.c_skip_mode, skip_scale=self.c_skip_scale,
+                    dtype=self.dtype, name=f"c_dec{cs}_up",
+                )(c_feat, c_skips[cs], levels, chi, clo,
+                  levels[clo].point.mask, train)
+                if t is not None:
+                    te = t
+                    for l in range(1, clo + 1):
+                        te = pyr.pool_head_gather(te, levels[l])
+                    c_t = te
+                cpt = self._attach(None, levels[clo], c_feat, t_emb=c_t)
+            n_slice = list(reversed(
+                n_ddp[sum(self.n_dec_depths[:s]):
+                      sum(self.n_dec_depths[: s + 1])]
+            ))
+            nd = self.n_dec_depths[s]
+            if cs is None:
+                npt = self._run_blocks(
+                    f"n_dec{s}_block", npt, nd, deterministic, n_slice,
+                    BlockCls, **nbk(s, dec=True),
+                )
+            else:
+                c_slice = list(reversed(
+                    c_ddp[sum(self.c_dec_depths[:cs]):
+                          sum(self.c_dec_depths[: cs + 1])]
+                ))
+                cd = self.c_dec_depths[cs]
+                paired = min(nd, cd)
+                npt, cpt = self._run_dual_blocks(
+                    f"dec_dual{lo}_block", npt, cpt, paired, deterministic,
+                    n_slice[:paired], c_slice[:paired],
+                    **dualbk(n_dec_ch[s], c_dec_ch[cs],
+                             self.n_dec_num_head[s], self.c_dec_num_head[cs],
+                             self.n_dec_patch_size[s]),
+                )
+                if nd > paired:
+                    npt = self._run_blocks(
+                        f"n_dec{s}_block", npt, nd - paired, deterministic,
+                        n_slice[paired:], BlockCls, start=paired,
+                        **nbk(s, dec=True),
+                    )
+                if cd > paired:
+                    cpt = self._run_blocks(
+                        f"c_dec{cs}_block", cpt, cd - paired, deterministic,
+                        c_slice[paired:], BlockCls, start=paired,
+                        **cbk(cs, dec=True),
+                    )
+                c_feat = cpt.feat
+            n_feat = npt.feat
+        n_logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                            name="n_head")(n_feat.astype(jnp.float32))
+        c_out = nn.Dense(self.c_in_channels, dtype=jnp.float32,
+                         name="c_head")(c_feat.astype(jnp.float32))
         return cpt.replace(feat=c_out), npt.replace(feat=n_logits)

@@ -310,7 +310,102 @@ def test_scan_blocks_train_grads(rng):
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
-    g = grads["backbone"]["n_enc0_blocks"]["block"]["attn"]["qkv"]["kernel"]
+    # with fused dual gathers (the default) the level-0 paired stack is
+    # the scanned dual group; the n-branch attention lives under n_attn
+    g = grads["backbone"]["enc_dual0_blocks"]["block"]["n_attn"]["qkv"]["kernel"]
     assert g.shape[0] == 2  # leading depth axis
     per_depth = np.abs(np.asarray(g)).sum(axis=tuple(range(1, g.ndim)))
     assert (per_depth > 0).all()
+
+
+def test_dual_fusion_parity():
+    """`fuse_dual_gathers=True` computes EXACTLY the unfused dual-branch
+    model: concat -> shared gather -> slice is elementwise identical to two
+    per-branch gathers, and all per-branch compute is untouched. Params map
+    by pure renaming (Block/<sub> -> DualBlock/{n,c}_<sub>). Covers paired
+    stacks, the n-only level-4 tail (with curve-order offset), and both
+    fused decoder levels. Reference runs the branches' kernels separately
+    (`point_transformer_v3m1_base.py:282-289,355-365,1785-1808`)."""
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.ptv3 import PointTransformerV3
+
+    arch = dict(
+        c_in_channels=6, n_in_channels=6,
+        c_stride=(4, 4), c_enc_depths=(2, 2, 2),
+        c_enc_channels=(8, 16, 16), c_enc_num_head=(1, 2, 2),
+        c_enc_patch_size=(64, 64, 64),
+        c_dec_depths=(1, 1), c_dec_channels=(8, 8), c_dec_num_head=(1, 1),
+        c_dec_patch_size=(64, 64),
+        n_stride=(2, 2, 2, 2), n_enc_depths=(2, 1, 2, 1, 3),
+        n_enc_channels=(8, 16, 16, 16, 16), n_enc_num_head=(1, 2, 2, 2, 2),
+        n_enc_patch_size=(64,) * 5,
+        n_dec_depths=(1, 1, 1, 1), n_dec_channels=(8, 8, 16, 16),
+        n_dec_num_head=(1, 1, 2, 2), n_dec_patch_size=(64,) * 4,
+        mlp_ratio=2, drop_path=0.0, proj_drop=0.0, num_classes=5, t_dim=16,
+        condition=True, capacity_div=(1, 2, 4, 8, 8), scan_blocks=False,
+        shuffle_orders=False,
+    )
+    mu = PointTransformerV3(**arch, fuse_dual_gathers=False)
+    mf = PointTransformerV3(**arch, fuse_dual_gathers=True)
+    rng = np.random.RandomState(0)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    t_emb = jnp.asarray(rng.randn(256, 16).astype(np.float32))
+    vu = jax.jit(lambda r, n, c, t: mu.init(r, n, c, t, train=False))(
+        RNGS, pt, pt, t_emb
+    )
+
+    # ---- rename-only mapping: unfused -> fused ----
+    n_shifts = [0] + list(np.cumsum([(s - 1).bit_length()
+                                     for s in arch["n_stride"]]))
+    c_shifts = [0] + list(np.cumsum([(s - 1).bit_length()
+                                     for s in arch["c_stride"]]))
+    cs_of = {sh: i for i, sh in enumerate(c_shifts)}
+    pf = dict(vu["params"])
+
+    def fuse_group(npfx, cpfx, dualpfx, nd, cd):
+        paired = min(nd, cd)
+        for i in range(paired):
+            nb, cb = pf.pop(f"{npfx}{i}"), pf.pop(f"{cpfx}{i}")
+            d = {f"n_{k}": v for k, v in nb.items()}
+            d.update({f"c_{k}": v for k, v in cb.items()})
+            pf[f"{dualpfx}{i}"] = d
+        for j, i in enumerate(range(paired, nd)):  # n tail renumbers from 0
+            pf[f"{npfx}{j}"] = pf.pop(f"{npfx}{i}")
+        for j, i in enumerate(range(paired, cd)):
+            pf[f"{cpfx}{j}"] = pf.pop(f"{cpfx}{i}")
+
+    for s, lvl in enumerate(n_shifts):
+        cs = cs_of.get(lvl)
+        if cs is not None:
+            fuse_group(f"n_enc{s}_block", f"c_enc{cs}_block",
+                       f"enc_dual{lvl}_block",
+                       arch["n_enc_depths"][s], arch["c_enc_depths"][cs])
+    for s in range(len(arch["n_enc_depths"]) - 1):
+        lvl = n_shifts[s]
+        cs = cs_of.get(lvl)
+        if cs is not None and cs < len(arch["c_enc_depths"]) - 1:
+            fuse_group(f"n_dec{s}_block", f"c_dec{cs}_block",
+                       f"dec_dual{lvl}_block",
+                       arch["n_dec_depths"][s], arch["c_dec_depths"][cs])
+
+    # the fused init must produce the same tree structure as the mapping
+    vf = jax.jit(lambda r, n, c, t: mf.init(r, n, c, t, train=False))(
+        RNGS, pt, pt, t_emb
+    )
+    assert jax.tree_util.tree_structure(vf["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(lambda x: x, pf)
+        )
+    )
+
+    def run(m, params):
+        cpt, npt = jax.jit(
+            lambda v, n, c, t: m.apply(v, n, c, t, train=False)
+        )({"params": params, "batch_stats": vu["batch_stats"]}, pt, pt, t_emb)
+        return np.asarray(npt.feat), np.asarray(cpt.feat)
+
+    n_u, c_u = run(mu, vu["params"])
+    n_f, c_f = run(mf, pf)
+    np.testing.assert_allclose(n_f, n_u, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(c_f, c_u, rtol=2e-5, atol=2e-5)
