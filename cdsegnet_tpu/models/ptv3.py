@@ -932,11 +932,15 @@ class PointTransformerV3(nn.Module):
     remat_policy: Optional[str] = None
     # fuse the two branches' per-block gathers (xCPE neighbor gather,
     # serialization-order gather, inverse gather) into single wide-row
-    # gathers wherever both branches run blocks at the same pyramid level
-    # (DESIGN §13: the SSI step is gather-efficiency bound). Bitwise
-    # equivalent to the unfused schedule; applies only to the conditional
-    # dual-branch model, and is unsupported with enable_rpe.
-    fuse_dual_gathers: bool = True
+    # gathers wherever both branches run blocks at the same pyramid level.
+    # Bitwise equivalent to the unfused schedule (test_dual_fusion_parity);
+    # unsupported with enable_rpe. Default OFF: isolated block pairs run
+    # 24-34% faster fused, but the full SSI step measured SLOWER (286.3 ->
+    # 299.8 ms unrolled, 295.6 -> 333.5 ms scanned on the v5e chip) — in
+    # context XLA pipelines the two branches' narrow gathers against
+    # surrounding compute better than one wide gather + concat
+    # materialization (DESIGN §14, measured round 5).
+    fuse_dual_gathers: bool = False
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the

@@ -415,9 +415,7 @@ def test_train_unrolled_serve_scanned_roundtrip(tmp_path):
         dict(type="Collect", keys=("coord", "grid_coord", "segment"),
              feat_keys=("color", "normal")),
     ]
-    # depth-2 stacks so both layouts are non-trivially different; with
-    # fused dual gathers (the default) the level-0 pairs form depth-2
-    # enc_dual0/dec_dual0 groups, which is what restack converts
+    # depth-2 stacks so both layouts are non-trivially different
     backbone = dict(
         TINY_BACKBONE,
         n_enc_depths=(2, 1, 1, 1, 1), n_dec_depths=(2, 1, 1, 1),

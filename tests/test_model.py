@@ -310,9 +310,7 @@ def test_scan_blocks_train_grads(rng):
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
-    # with fused dual gathers (the default) the level-0 paired stack is
-    # the scanned dual group; the n-branch attention lives under n_attn
-    g = grads["backbone"]["enc_dual0_blocks"]["block"]["n_attn"]["qkv"]["kernel"]
+    g = grads["backbone"]["n_enc0_blocks"]["block"]["attn"]["qkv"]["kernel"]
     assert g.shape[0] == 2  # leading depth axis
     per_depth = np.abs(np.asarray(g)).sum(axis=tuple(range(1, g.ndim)))
     assert (per_depth > 0).all()
