@@ -964,7 +964,7 @@ class PointTransformerV3(nn.Module):
             "c-branch grids must be a subset of n-branch grids"
         )
 
-    def _pyramid(self, point: PointBatch, shuffle_key):
+    def _pyramid(self, point: PointBatch, shuffle_key, exactness="cond"):
         n0 = point.num_points
         patch = max(self.n_enc_patch_size)
         caps = [
@@ -977,13 +977,18 @@ class PointTransformerV3(nn.Module):
             orders=self.orders,
             shuffle_key=shuffle_key,
             stem_kernel=5,
+            exactness=exactness,
         )
 
-    def precompute_geometry(self, point: PointBatch, shuffle_key=None):
+    def precompute_geometry(self, point: PointBatch, shuffle_key=None,
+                            exactness: str = "cond"):
         """Build ``(levels, stem_nbr)`` outside of ``apply`` (no params or
         rngs touched) — a jittable pure function of the point geometry,
-        suitable for one-per-batch precomputation in inference drivers."""
-        return self._pyramid(point, shuffle_key)
+        suitable for one-per-batch precomputation in inference drivers.
+        ``exactness="parity"`` skips compiling the sorted overflow fallback
+        — the caller must host-check ``Level.dropped`` and re-run with
+        ``"sorted"`` if any level dropped (see `pyramid.build_pyramid`)."""
+        return self._pyramid(point, shuffle_key, exactness)
 
     def _attach(self, point: PointBatch, level: pyr.Level, feat, t_emb=None):
         """Bind branch features to a pyramid level's geometry."""

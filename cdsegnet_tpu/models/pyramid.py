@@ -299,6 +299,7 @@ def build_pyramid(
     orders: Tuple[str, ...],
     shuffle_key: Optional[jax.Array],
     stem_kernel: int = 5,
+    exactness: str = "cond",
 ) -> Tuple[Sequence[Level], jnp.ndarray]:
     """Full geometry pyramid + the stem neighbor table for level 0.
 
@@ -321,7 +322,21 @@ def build_pyramid(
     geometry trace from 3.5 s to ~9 min of XLA time (measured round 4).
     A mixed-stride ladder (no current caller uses one) takes the sorted
     builds unconditionally: parity needs an unbroken stride-2 chain.
+
+    ``exactness`` selects the phase-2 strategy:
+
+    - ``"cond"`` (default, used in-model): the `lax.cond` described above —
+      always exact, but compiles BOTH branches (~75 s fresh geometry
+      compile at bench scale, round 4).
+    - ``"parity"``: parity chain only — exact iff nothing overflowed; the
+      per-level ``Level.dropped`` counts (phase 1, branch-independent) let
+      a HOST-side caller detect overflow and re-run with ``"sorted"``.
+      Inference drivers that precompute geometry outside ``apply`` use
+      this: the common path compiles in seconds and the sorted executable
+      is built lazily only if a batch ever overflows (engine/test.py).
+    - ``"sorted"``: the sorted-exact fallback unconditionally.
     """
+    assert exactness in ("cond", "parity", "sorted"), exactness
     from cdsegnet_tpu.models.structure import (
         K3_FROM_K5_COLS,
         build_k5_shell_table,
@@ -377,7 +392,9 @@ def build_pyramid(
             )
         return tuple(tables), stem
 
-    if n_pool and all(s == 2 for s in strides):
+    if exactness == "sorted" and n_pool:
+        tables, stem_nbr = _sorted_tables(levels, n_pool, want_k5)
+    elif n_pool and all(s == 2 for s in strides):
 
         def _parity_chain(child_tbl):
             tables = []
@@ -401,13 +418,18 @@ def build_pyramid(
             del child_tbl
             return _sorted_tables(levels, n_pool, want_k5)
 
-        total_dropped = sum(levels[i].dropped for i in range(1, len(levels)))
-        tables, stem_nbr = jax.lax.cond(
-            total_dropped > 0,
-            _sorted_fallback,
-            _parity_chain,
-            levels[-1].point.neighbor_idx,
-        )
+        if exactness == "parity":
+            tables, stem_nbr = _parity_chain(levels[-1].point.neighbor_idx)
+        else:
+            total_dropped = sum(
+                levels[i].dropped for i in range(1, len(levels))
+            )
+            tables, stem_nbr = jax.lax.cond(
+                total_dropped > 0,
+                _sorted_fallback,
+                _parity_chain,
+                levels[-1].point.neighbor_idx,
+            )
     elif n_pool:  # mixed strides: sorted everywhere, no cond
         tables, stem_nbr = _sorted_tables(levels, n_pool, want_k5)
     else:  # no pooling at all: level 0 IS the coarsest level built above

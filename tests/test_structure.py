@@ -363,3 +363,47 @@ def test_blocked_cummax():
         x = rng.randint(-(1 << 60), 1 << 60, size=m).astype(np.int64)
         got = np.asarray(_blocked_cummax(jnp.asarray(x), chunk=4096))
         np.testing.assert_array_equal(got, np.maximum.accumulate(x))
+
+
+def test_pyramid_exactness_modes():
+    """`build_pyramid(exactness=...)`: "parity" equals "cond" when nothing
+    overflows; "sorted" equals "cond" when something does (the host-side
+    fallback protocol used by inference drivers — bench.py geometry)."""
+    import jax
+    import numpy as np
+
+    from cdsegnet_tpu.models import pyramid as pyr
+
+    sys_path_ok = True  # local import guard
+    from helpers import synthetic_batch
+
+    rng = np.random.RandomState(0)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    orders = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+    def build(exactness, caps):
+        return jax.jit(lambda p: pyr.build_pyramid(
+            p, strides=(2, 2), capacities=caps, orders=orders,
+            shuffle_key=None, exactness=exactness,
+        ))(pt)
+
+    def tables(g):
+        levels, stem = g
+        return [np.asarray(l.point.neighbor_idx) for l in levels] + [
+            np.asarray(stem)
+        ]
+
+    # ample capacities: nothing drops -> parity == cond
+    caps = [256, 256]
+    g_cond, g_par = build("cond", caps), build("parity", caps)
+    assert all(int(np.asarray(l.dropped)) == 0 for l in g_cond[0][1:])
+    for a, b in zip(tables(g_cond), tables(g_par)):
+        np.testing.assert_array_equal(a, b)
+
+    # tight capacity: drops -> cond takes the sorted branch == "sorted"
+    caps = [64, 64]
+    g_cond, g_sort = build("cond", caps), build("sorted", caps)
+    assert any(int(np.asarray(l.dropped)) > 0 for l in g_cond[0][1:])
+    for a, b in zip(tables(g_cond), tables(g_sort)):
+        np.testing.assert_array_equal(a, b)
+    del sys_path_ok
