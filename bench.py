@@ -397,6 +397,7 @@ def main():
                 train_compile_s=round(train_compile_s, 1),
                 train_remat=t_remat,
                 train_scan=os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0",
+                train_fused=os.environ.get("CDSEG_TRAIN_FUSE", "1") != "0",
             )
         except Exception as e:  # noqa: BLE001 - keep the SSI artifact alive
             _note(f"train@104k section FAILED after retries: {str(e)[:300]}")
@@ -484,8 +485,12 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None,
         remat = os.environ.get("CDSEG_REMAT", "0") != "0"
     if scan is None:
         scan = os.environ.get("CDSEG_TRAIN_SCAN", "0") != "0"
+    # fused dual gathers for TRAINING (the shipped config default): +2.8%
+    # train throughput @104k (76.7k vs 74.6k pts/s, round-5 A/B); serving
+    # stays unfused (DESIGN §14)
+    t_fuse = os.environ.get("CDSEG_TRAIN_FUSE", "1") != "0"
     cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat,
-                           scan_blocks=scan)
+                           scan_blocks=scan, fuse_dual_gathers=t_fuse)
     rp = policy or os.environ.get("CDSEG_REMAT_POLICY")  # "dots_saveable"
     if rp:
         cfg["backbone"]["remat_policy"] = rp

@@ -130,6 +130,104 @@ def detect_block_layout(params: Mapping) -> str:
     return "none"
 
 
+def dual_block_groups(backbone) -> list:
+    """Pairing structure of `PointTransformerV3._forward_fused` — which
+    n/c stages share a pyramid level, their fused-group prefix, and the
+    paired depth — derived from the module's static fields."""
+    from cdsegnet_tpu.models.ptv3 import _cumshift
+
+    n_shifts = _cumshift(backbone.n_stride)
+    c_shifts = _cumshift(backbone.c_stride)
+    cs_of = {sh: i for i, sh in enumerate(c_shifts)}
+    groups = []
+    for s in range(len(backbone.n_enc_depths)):
+        cs = cs_of.get(n_shifts[s])
+        if cs is None:
+            continue
+        nd, cd = backbone.n_enc_depths[s], backbone.c_enc_depths[cs]
+        groups.append(dict(
+            dual=f"enc_dual{n_shifts[s]}_block", n=f"n_enc{s}_block",
+            c=f"c_enc{cs}_block", paired=min(nd, cd), nd=nd, cd=cd,
+        ))
+    for s in range(len(backbone.n_enc_depths) - 1):
+        cs = cs_of.get(n_shifts[s])
+        if cs is None or cs >= len(backbone.c_enc_depths) - 1:
+            continue
+        nd, cd = backbone.n_dec_depths[s], backbone.c_dec_depths[cs]
+        groups.append(dict(
+            dual=f"dec_dual{n_shifts[s]}_block", n=f"n_dec{s}_block",
+            c=f"c_dec{cs}_block", paired=min(nd, cd), nd=nd, cd=cd,
+        ))
+    return groups
+
+
+def _unfuse_renames(bb: Mapping, groups) -> Dict[str, Any]:
+    """Fused (DualBlock) -> unfused param renaming on an UNROLLED tree."""
+    bb = dict(bb)
+    for g in groups:
+        paired = g["paired"]
+        for i in reversed(range(g["nd"] - paired)):  # tail renumbers up
+            if f"{g['n']}{i}" in bb:
+                bb[f"{g['n']}{i + paired}"] = bb.pop(f"{g['n']}{i}")
+        for i in reversed(range(g["cd"] - paired)):
+            if f"{g['c']}{i}" in bb:
+                bb[f"{g['c']}{i + paired}"] = bb.pop(f"{g['c']}{i}")
+        for i in range(paired):
+            d = dict(bb.pop(f"{g['dual']}{i}"))
+            bb[f"{g['n']}{i}"] = {
+                k[2:]: v for k, v in d.items() if k.startswith("n_")
+            }
+            bb[f"{g['c']}{i}"] = {
+                k[2:]: v for k, v in d.items() if k.startswith("c_")
+            }
+    return bb
+
+
+def _fuse_renames(bb: Mapping, groups) -> Dict[str, Any]:
+    """Unfused -> fused (DualBlock) param renaming on an UNROLLED tree."""
+    bb = dict(bb)
+    for g in groups:
+        paired = g["paired"]
+        for i in range(paired):
+            nb = dict(bb.pop(f"{g['n']}{i}"))
+            cb = dict(bb.pop(f"{g['c']}{i}"))
+            d = {f"n_{k}": v for k, v in nb.items()}
+            d.update({f"c_{k}": v for k, v in cb.items()})
+            bb[f"{g['dual']}{i}"] = d
+        for i in range(paired, g["nd"]):  # tail renumbers down
+            if f"{g['n']}{i}" in bb:
+                bb[f"{g['n']}{i - paired}"] = bb.pop(f"{g['n']}{i}")
+        for i in range(paired, g["cd"]):
+            if f"{g['c']}{i}" in bb:
+                bb[f"{g['c']}{i - paired}"] = bb.pop(f"{g['c']}{i}")
+    return bb
+
+
+def adapt_backbone_params(bb_params: Mapping, backbone, scan: bool,
+                          fused: bool) -> Dict[str, Any]:
+    """Convert a PTv3-family BACKBONE param subtree to any (scan, fused)
+    layout, from any layout: unstack -> fuse/unfuse renames -> restack.
+
+    The production path trains fused+unrolled (fastest step, round-5
+    measurements) and serves unfused (fused serving measured slower) —
+    one checkpoint, four loadable layouts."""
+    if detect_block_layout(bb_params) == "scanned":
+        bb_params = unstack_block_params(bb_params, allow_noop=True)
+    cur_fused = any(
+        k.startswith(("enc_dual", "dec_dual")) for k in bb_params
+    )
+    if cur_fused != fused:
+        groups = dual_block_groups(backbone)
+        bb_params = (
+            _unfuse_renames(bb_params, groups)
+            if cur_fused
+            else _fuse_renames(bb_params, groups)
+        )
+    if scan:
+        bb_params = restack_block_params(bb_params, allow_noop=True)
+    return bb_params
+
+
 def convert_to_layout(params: Mapping, target: str) -> Dict[str, Any]:
     """Convert a param tree to ``target`` layout ("scanned"/"unrolled"),
     no-op when already there (or when no block stacks exist)."""

@@ -68,6 +68,7 @@ model = dict(
         # configs/scannet/cdsegnet.py for the rationale and the microbatch
         # fast path
         scan_blocks=False,
+        fuse_dual_gathers=True,
         remat_blocks=True,
         remat_policy="dots_saveable",
     ),

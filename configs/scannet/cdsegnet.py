@@ -81,6 +81,10 @@ model = dict(
         # 104k bucket, DESIGN §13). Serving restacks the checkpoint to the
         # fast-compiling scanned layout (tools/test.py, serve_scan_blocks).
         scan_blocks=False,
+        # fused dual-branch gathers: +2.8% train step (76.7k vs 74.6k pts/s
+        # @104k, DESIGN §14); tools/test.py converts checkpoints to the
+        # unfused SERVING layout automatically (fused serving is slower)
+        fuse_dual_gathers=True,
         # the whole 204,800-pt device bucket does not fit unrolled-no-remat
         # (~22 GB temp); dots_saveable remat keeps matmul outputs resident
         # and fits. For ~25% more train throughput set microbatch=2 below

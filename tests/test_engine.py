@@ -415,12 +415,15 @@ def test_train_unrolled_serve_scanned_roundtrip(tmp_path):
         dict(type="Collect", keys=("coord", "grid_coord", "segment"),
              feat_keys=("color", "normal")),
     ]
-    # depth-2 stacks so both layouts are non-trivially different
+    # depth-2 stacks so the layouts differ non-trivially; training runs
+    # the production layout: UNROLLED + FUSED dual gathers (+ whole-bucket
+    # remat), serving converts to scanned + unfused
     backbone = dict(
         TINY_BACKBONE,
         n_enc_depths=(2, 1, 1, 1, 1), n_dec_depths=(2, 1, 1, 1),
         c_enc_depths=(2, 1, 1), c_dec_depths=(2, 1),
-        scan_blocks=False, remat_blocks=True, remat_policy="dots_saveable",
+        scan_blocks=False, fuse_dual_gathers=True,
+        remat_blocks=True, remat_policy="dots_saveable",
     )
     model_cfg = dict(
         type="DefaultSegmentorV2",
@@ -482,6 +485,7 @@ def test_train_unrolled_serve_scanned_roundtrip(tmp_path):
     tr = Trainer(cfg)
     tr.train()
     assert detect_block_layout(tr.state.params) == "unrolled"
+    assert "enc_dual0_block0" in tr.state.params["backbone"]  # trained fused
     assert tr.ckpt_manager.has("model_last")
 
     import importlib.util
@@ -496,6 +500,9 @@ def test_train_unrolled_serve_scanned_roundtrip(tmp_path):
     model, state = test_tool.load_state(cfg, "model_last")
     assert detect_block_layout(state.params) == "scanned"
     assert model.backbone.scan_blocks is True
+    assert model.backbone.fuse_dual_gathers is False
+    assert not any(k.startswith(("enc_dual", "dec_dual"))
+                   for k in state.params["backbone"])
 
     from cdsegnet_tpu.engine.test import SemSegTester
 

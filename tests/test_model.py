@@ -407,3 +407,57 @@ def test_dual_fusion_parity():
     n_f, c_f = run(mf, pf)
     np.testing.assert_allclose(n_f, n_u, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(c_f, c_u, rtol=2e-5, atol=2e-5)
+
+
+def test_adapt_backbone_params_roundtrip():
+    """`adapt_backbone_params` converts a fused+unrolled train checkpoint to
+    every serving layout and back losslessly, and the converted tree loads
+    into the target model (structure check via init)."""
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.ptv3 import PointTransformerV3
+    from cdsegnet_tpu.utils.params import adapt_backbone_params
+    from helpers import synthetic_batch
+
+    arch = dict(
+        c_in_channels=6, n_in_channels=6,
+        c_stride=(4, 4), c_enc_depths=(2, 2, 2),
+        c_enc_channels=(8, 16, 16), c_enc_num_head=(1, 2, 2),
+        c_enc_patch_size=(64, 64, 64),
+        c_dec_depths=(1, 1), c_dec_channels=(8, 8), c_dec_num_head=(1, 1),
+        c_dec_patch_size=(64, 64),
+        n_stride=(2, 2, 2, 2), n_enc_depths=(2, 1, 2, 1, 3),
+        n_enc_channels=(8, 16, 16, 16, 16), n_enc_num_head=(1, 2, 2, 2, 2),
+        n_enc_patch_size=(64,) * 5,
+        n_dec_depths=(1, 1, 1, 1), n_dec_channels=(8, 8, 16, 16),
+        n_dec_num_head=(1, 1, 2, 2), n_dec_patch_size=(64,) * 4,
+        mlp_ratio=2, drop_path=0.0, num_classes=5, t_dim=16,
+        condition=True, capacity_div=(1, 2, 4, 8, 8), shuffle_orders=False,
+    )
+    rng = np.random.RandomState(0)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    t_emb = jnp.asarray(rng.randn(256, 16).astype(np.float32))
+
+    def init(fused, scan):
+        m = PointTransformerV3(**arch, fuse_dual_gathers=fused,
+                               scan_blocks=scan)
+        v = jax.jit(lambda r, n, c, t: m.init(r, n, c, t, train=False))(
+            RNGS, pt, pt, t_emb
+        )
+        return m, v["params"]
+
+    m_train, p_train = init(fused=True, scan=False)  # production train
+    for fused, scan in ((False, True), (False, False), (True, True)):
+        m_tgt, p_tgt = init(fused, scan)
+        conv = adapt_backbone_params(p_train, m_tgt, scan=scan, fused=fused)
+        assert (
+            jax.tree_util.tree_structure(conv)
+            == jax.tree_util.tree_structure(dict(p_tgt))
+        ), (fused, scan)
+        # lossless: back to the train layout is the identity
+        back = adapt_backbone_params(conv, m_train, scan=False, fused=True)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(back),
+            jax.tree_util.tree_leaves(dict(p_train)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

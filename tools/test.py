@@ -37,12 +37,17 @@ def load_state(cfg, checkpoint: str):
     """
     model_cfg = dict(cfg.model)
     serve_scan = bool(cfg.get("serve_scan_blocks", True))
-    if isinstance(model_cfg.get("backbone"), dict) and (
+    # serving never fuses dual gathers (measured slower end-to-end than the
+    # unfused schedule — DESIGN §14); training may (2.8% faster steps)
+    serve_fused = bool(cfg.get("serve_fuse_dual_gathers", False))
+    is_ptv3 = isinstance(model_cfg.get("backbone"), dict) and (
         "scan_blocks" in model_cfg["backbone"]
         or model_cfg["backbone"].get("type", "").startswith("PT-v3")
-    ):
+    )
+    if is_ptv3:
         model_cfg["backbone"] = dict(
             model_cfg["backbone"], scan_blocks=serve_scan,
+            fuse_dual_gathers=serve_fused,
             # serving never takes a backward pass; remat only slows it down
             remat_blocks=False,
         )
@@ -51,11 +56,18 @@ def load_state(cfg, checkpoint: str):
     raw = mgr.restore_raw(checkpoint)
     if raw is None:
         raise FileNotFoundError(f"checkpoint {checkpoint!r} not found")
-    from cdsegnet_tpu.utils.params import convert_to_layout
+    from cdsegnet_tpu.utils.params import adapt_backbone_params, convert_to_layout
 
-    params = convert_to_layout(
-        raw["params"], "scanned" if serve_scan else "unrolled"
-    )
+    params = dict(raw["params"])
+    if is_ptv3 and "backbone" in params:
+        params["backbone"] = adapt_backbone_params(
+            params["backbone"], model.backbone, scan=serve_scan,
+            fused=serve_fused,
+        )
+    else:
+        params = convert_to_layout(
+            params, "scanned" if serve_scan else "unrolled"
+        )
     state = TrainState(
         step=raw.get("step", 0),
         params=params,
