@@ -101,8 +101,15 @@ def build_pooled_level(
     m = capacity
 
     # Cluster keys from the first (possibly shuffled) order of the parent.
+    # `codes_sorted` (free byproduct of the level-0 packed sort, propagated
+    # level-to-level below) saves one (Mp,) int64 gather per curve here.
     sort0 = pp.orders[0]
-    keys_sorted = (pp.codes[0] >> (3 * pd))[sort0]
+    cs = (
+        pp.codes_sorted
+        if pp.codes_sorted is not None
+        else jax.vmap(lambda c, o: c[o])(pp.codes, pp.orders)
+    )
+    keys_sorted = cs[0] >> (3 * pd)
     seg = seg_ops.sorted_segment_ids(keys_sorted)  # ascending per sorted pos
     seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
     mask_sorted = pp.mask[sort0]
@@ -138,10 +145,19 @@ def build_pooled_level(
     # ------------------------------------------------------------------
     n_orders = pp.codes.shape[0]
     big = jnp.int64(jnp.iinfo(jnp.int64).max)
+    # All points of a cluster share the same shifted code on EVERY curve
+    # (the prefix property: the high bits encode the coarse cell), so any
+    # representative works — one batched (O, M) gather at the heads.
+    head_codes = jnp.take(pp.codes, head_parent, axis=1) >> (3 * pd)
 
-    def derive(o):
-        sort_o = pp.orders[o]
-        ks = (pp.codes[o] >> (3 * pd))[sort_o]  # non-decreasing
+    # Curve 0 is analytically free: clusters are numbered by their rank
+    # along curve 0, so the child's order/inverse are the identity and the
+    # rank cumsum is `seg` itself — no gathers, scatters, or cumsums.
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    used0 = iota_m <= jnp.minimum(seg[-1], m - 1)
+    code0 = jnp.where(used0, head_codes[0], big)
+
+    def derive(ks, sort_o, head_code_o):
         flag = jnp.concatenate(
             [jnp.ones((1,), jnp.int32), (ks[1:] != ks[:-1]).astype(jnp.int32)]
         )
@@ -149,23 +165,35 @@ def build_pooled_level(
         rank = jnp.minimum(rank, m - 1).astype(jnp.int32)
         n_clusters = rank[-1] + 1
         slots = jnp.take(parent_inverse, sort_o)  # cluster slot per position
-        rank_of_slot = jnp.zeros((m,), jnp.int32).at[slots].set(rank)
-        used = jnp.zeros((m,), jnp.int32).at[slots].set(1)
-        unused_pos = n_clusters + jnp.cumsum(1 - used) - 1
-        inverse = jnp.where(used == 1, rank_of_slot, unused_pos)
+        # ONE scatter carries both the per-slot rank and the used flag
+        # (packed as rank+1, 0 = unused): random 4-byte scatters are
+        # latency-bound on TPU, so passes — not bytes — are the cost
+        rank1_of_slot = jnp.zeros((m,), jnp.int32).at[slots].set(rank + 1)
+        used = rank1_of_slot > 0
+        unused_pos = n_clusters + jnp.cumsum(1 - used.astype(jnp.int32)) - 1
+        inverse = jnp.where(used, rank1_of_slot - 1, unused_pos)
         inverse = jnp.minimum(inverse, m - 1).astype(jnp.int32)
-        order = jnp.zeros((m,), jnp.int32).at[inverse].set(
-            jnp.arange(m, dtype=jnp.int32)
-        )
-        code = jnp.where(
-            used == 1, jnp.take(pp.codes[o], head_parent) >> (3 * pd), big
-        )
+        order = jnp.zeros((m,), jnp.int32).at[inverse].set(iota_m)
+        code = jnp.where(used, head_code_o, big)
         return code, order, inverse
 
-    codes, order, inverse = jax.vmap(derive)(jnp.arange(n_orders))
+    code_t, order_t, inverse_t = jax.vmap(derive)(
+        cs[1:] >> (3 * pd), pp.orders[1:], head_codes[1:]
+    )
+    codes = jnp.concatenate([code0[None], code_t], axis=0)
+    order = jnp.concatenate([iota_m[None], order_t], axis=0)
+    inverse = jnp.concatenate([iota_m[None], inverse_t], axis=0)
+    # Child sorted codes (feeds the NEXT level's `cs`): curve 0 is already
+    # in sorted arrangement; the tail pays one (M,) gather per curve now to
+    # save a (2M,) gather per curve at the next pooling.
+    codes_sorted = jnp.concatenate(
+        [code0[None], jax.vmap(lambda c, o: c[o])(code_t, order_t)], axis=0
+    )
     if shuffle_key is not None:
         perm = jax.random.permutation(shuffle_key, n_orders)
-        codes, order, inverse = codes[perm], order[perm], inverse[perm]
+        codes, order, inverse, codes_sorted = (
+            codes[perm], order[perm], inverse[perm], codes_sorted[perm]
+        )
 
     child = PointBatch(
         coord=coord,
@@ -177,6 +205,7 @@ def build_pooled_level(
         codes=codes,
         orders=order,
         inverses=inverse,
+        codes_sorted=codes_sorted,
         batch_sorted=jax.vmap(lambda o: jnp.take(batch, o))(order),
         mask_sorted=jax.vmap(lambda o: jnp.take(new_mask, o))(order),
         depth=pp.depth - pd,

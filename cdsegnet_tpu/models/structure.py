@@ -68,6 +68,12 @@ class PointBatch:
     codes: Optional[jnp.ndarray] = None
     orders: Optional[jnp.ndarray] = None
     inverses: Optional[jnp.ndarray] = None
+    # (O, N) int64 codes in each order's sorted arrangement. A free
+    # byproduct of the packed sort (`packed_sort` keeps the key half of the
+    # sorted word) that `build_pooled_level` would otherwise re-gather per
+    # curve per level (the reference re-sorts codes per branch per level,
+    # `point_transformer_v3m1_base.py:492-499`).
+    codes_sorted: Optional[jnp.ndarray] = None
     # (O, N) batch ids / validity in each order's sorted arrangement —
     # loop-invariant per level, precomputed once so attention blocks don't
     # re-gather them per block (the scanned stacks cannot CSE the gathers
@@ -183,13 +189,14 @@ def serialize(
         perm = jax.random.permutation(shuffle_key, len(orders))
         codes = codes[perm]
     key_bits = 3 * point.depth + max((point.num_scenes).bit_length(), 1)
-    order = jax.vmap(lambda c: packed_argsort(c, key_bits))(codes)
+    order, codes_sorted = jax.vmap(lambda c: packed_sort(c, key_bits))(codes)
     arange = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
     inverse = jax.vmap(lambda o, a: jnp.zeros((n,), jnp.int32).at[o].set(a))(
         order, arange
     )
     return point.replace(
         codes=codes, orders=order, inverses=inverse,
+        codes_sorted=codes_sorted,
         batch_sorted=jax.vmap(lambda o: jnp.take(point.batch, o))(order),
         mask_sorted=jax.vmap(lambda o: jnp.take(point.mask, o))(order),
     )
@@ -230,6 +237,26 @@ def packed_argsort(keys: jnp.ndarray, key_bits: int) -> jnp.ndarray:
     packed = (keys.astype(jnp.int64) << idx_bits) | jnp.arange(n, dtype=jnp.int64)
     s = jnp.sort(packed)
     return (s & ((1 << idx_bits) - 1)).astype(jnp.int32)
+
+
+def packed_sort(
+    keys: jnp.ndarray, key_bits: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``(argsort, sorted_keys)`` from ONE packed single-array sort.
+
+    The packed word is ``key << idx_bits | idx`` — after sorting, the low
+    bits are the order and the high bits are the sorted keys, so the
+    sorted-key array costs one shift instead of the (N,) int64 gather
+    ``keys[order]``. Same 63-bit budget and fallback as `packed_argsort`.
+    """
+    n = keys.shape[0]
+    idx_bits = (n - 1).bit_length() if n > 1 else 1
+    if key_bits + idx_bits > 63:
+        order = packed_argsort(keys, key_bits)  # warns + falls back
+        return order, jnp.take(keys, order)
+    packed = (keys.astype(jnp.int64) << idx_bits) | jnp.arange(n, dtype=jnp.int64)
+    s = jnp.sort(packed)
+    return (s & ((1 << idx_bits) - 1)).astype(jnp.int32), s >> idx_bits
 
 
 def _blocked_cummax(x: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:

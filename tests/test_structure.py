@@ -21,6 +21,10 @@ def test_serialize_orders_and_inverse(rng):
     for o in range(4):
         sorted_codes = codes[o][orders[o]]
         assert (np.diff(sorted_codes) >= 0).all()
+        # the packed sort's key half equals a fresh gather
+        np.testing.assert_array_equal(
+            np.asarray(pt.codes_sorted)[o], sorted_codes
+        )
         # inverse is the inverse permutation
         np.testing.assert_array_equal(orders[o][inv[o]], np.arange(pt.num_points))
     # pads sort to the end of every order
@@ -148,6 +152,10 @@ def test_pooled_orders_are_valid_permutations(rng):
             np.testing.assert_array_equal(orders[o][inv[o]], np.arange(m))
             sorted_codes = codes[o][orders[o]]
             assert (np.diff(sorted_codes.astype(np.int64)) >= 0).all()
+            # propagated sorted codes match a fresh gather
+            np.testing.assert_array_equal(
+                np.asarray(lvl.point.codes_sorted)[o], sorted_codes
+            )
         # valid slots sort before invalid ones in every order
         mask = np.asarray(lvl.point.mask)
         n_valid = mask.sum()
