@@ -338,6 +338,10 @@ def main():
     fuse = os.environ.get("CDSEG_FUSE")  # "1" enables dual-gather fusion
     if fuse is not None:
         cfg["backbone"]["fuse_dual_gathers"] = fuse != "0"
+    # zero-pad narrow xCPE gather rows (exact; serve default — measured
+    # 243.5 vs 247.3 ms/step end-to-end on v5e, DESIGN §14). "0" disables.
+    cfg["backbone"]["pad_narrow_gathers"] = int(
+        os.environ.get("CDSEG_PAD_GATHERS", "64"))
 
     result = dict(
         metric="ssi_points_per_sec_per_chip",

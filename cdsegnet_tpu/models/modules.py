@@ -192,6 +192,9 @@ class SubMConv(nn.Module):
     # recompute the neighbor gather in backward (False when an outer
     # nn.remat already rematerializes the enclosing block)
     remat_gather: bool = True
+    # zero-pad narrow channels to this row width before the neighbor gather
+    # (exact; gathers are row-latency bound — see ops.subm_conv). 0 = off.
+    pad_gather_to: int = 0
 
     @nn.compact
     def __call__(self, feat, neighbor_idx):
@@ -210,7 +213,7 @@ class SubMConv(nn.Module):
         del fan_in
         return subm_conv_apply(
             feat.astype(self.dtype), neighbor_idx, weight, bias,
-            remat_gather=self.remat_gather,
+            remat_gather=self.remat_gather, pad_to=self.pad_gather_to,
         )
 
 

@@ -161,6 +161,8 @@ class Block(nn.Module):
     # False when the whole Block is wrapped in nn.remat (a nested gather
     # checkpoint inside an outer remat recomputes twice per backward)
     remat_gather: bool = True
+    # zero-pad narrow xCPE gather rows to this channel width (exact; 0=off)
+    pad_gather_to: int = 0
 
     @nn.compact
     def __call__(self, point: PointBatch, deterministic: bool = True,
@@ -170,7 +172,8 @@ class Block(nn.Module):
         dp_static_zero = isinstance(dp, (int, float)) and float(dp) == 0.0
         shortcut = point.feat
         f = SubMConv(c, c, 27, use_bias=True, dtype=self.dtype,
-                     remat_gather=self.remat_gather, name="cpe_conv")(
+                     remat_gather=self.remat_gather,
+                     pad_gather_to=self.pad_gather_to, name="cpe_conv")(
             point.feat, point.neighbor_idx
         )
         f = nn.Dense(c, dtype=self.dtype, name="cpe_fc")(f)
@@ -941,6 +944,12 @@ class PointTransformerV3(nn.Module):
     # surrounding compute better than one wide gather + concat
     # materialization (DESIGN §14, measured round 5).
     fuse_dual_gathers: bool = False
+    # zero-pad xCPE gather rows narrower than this to this channel width
+    # (exact — padded weight rows are zero). Gathers are row-latency bound
+    # under ~128 B rows, so C=32 rows cost the same fetched at 64 wide;
+    # measured 19.9 -> 16.3 ms on the isolated L0 C=32 xCPE
+    # (tools/bench_xcpe_variants.py). 0 disables.
+    pad_narrow_gathers: int = 0
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -1007,6 +1016,7 @@ class PointTransformerV3(nn.Module):
         # when blocks are remat'd, the whole body already recomputes in
         # backward — a nested gather checkpoint would recompute twice
         bk.setdefault("remat_gather", not self.remat_blocks)
+        bk.setdefault("pad_gather_to", self.pad_narrow_gathers)
         n_orders = len(self.orders)
         if not self.scan_blocks or depth == 1:
             for i in range(depth):

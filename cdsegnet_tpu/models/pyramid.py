@@ -30,7 +30,12 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from cdsegnet_tpu.models.structure import PointBatch, build_neighbor_table, serialize
+from cdsegnet_tpu.models.structure import (
+    PointBatch,
+    build_neighbor_table,
+    packed_sort,
+    serialize,
+)
 from cdsegnet_tpu.ops import segments as seg_ops
 
 
@@ -101,18 +106,19 @@ def build_pooled_level(
     m = capacity
 
     # Cluster keys from the first (possibly shuffled) order of the parent.
-    # `codes_sorted` (free byproduct of the level-0 packed sort, propagated
-    # level-to-level below) saves one (Mp,) int64 gather per curve here.
+    # `codes_sorted` (free byproduct of the packed sort) saves the (Mp,)
+    # int64 gather here.
     sort0 = pp.orders[0]
-    cs = (
-        pp.codes_sorted
+    keys_sorted = (
+        pp.codes_sorted[0]
         if pp.codes_sorted is not None
-        else jax.vmap(lambda c, o: c[o])(pp.codes, pp.orders)
-    )
-    keys_sorted = cs[0] >> (3 * pd)
+        else pp.codes[0][sort0]
+    ) >> (3 * pd)
     seg = seg_ops.sorted_segment_ids(keys_sorted)  # ascending per sorted pos
     seg_c = jnp.minimum(seg, m - 1).astype(jnp.int32)
-    mask_sorted = pp.mask[sort0]
+    mask_sorted = (
+        pp.mask_sorted[0] if pp.mask_sorted is not None else pp.mask[sort0]
+    )
     valid = mask_sorted & (seg < m - 1)
 
     dropped = jnp.sum(mask_sorted & (seg >= m - 1)).astype(jnp.int32)
@@ -135,60 +141,37 @@ def build_pooled_level(
         jnp.zeros((mp,), jnp.int32).at[sort0].set(seg_c)
     )
 
-    # ------------------------------------------------------------------
-    # Sort-free child serialization. Space-filling curves have the prefix
-    # property: the parent's sorted order restricted to cluster heads IS
-    # the child's sorted order for the same curve. So for every curve we
-    # derive the child order/inverse by a run-length rank (cumsum) over the
-    # parent's sorted keys plus two scatters — no argsort at pooled levels
-    # (the reference re-sorts codes per branch per level, `:492-499`).
-    # ------------------------------------------------------------------
     n_orders = pp.codes.shape[0]
-    big = jnp.int64(jnp.iinfo(jnp.int64).max)
     # All points of a cluster share the same shifted code on EVERY curve
     # (the prefix property: the high bits encode the coarse cell), so any
-    # representative works — one batched (O, M) gather at the heads.
+    # representative works — one batched (O, M) gather at the heads. The
+    # used-slot set is also curve-independent (every cluster appears on
+    # every curve), so child codes for ALL curves come from this gather.
     head_codes = jnp.take(pp.codes, head_parent, axis=1) >> (3 * pd)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    used = iota_m <= jnp.minimum(seg[-1], m - 1)
+    # Unused-slot sentinel: one above the child key range, NOT int64 max —
+    # it must survive `packed_sort`'s 63-bit packing budget below. Shifted
+    # at the next pooling it stays strictly above every real code.
+    kb_child = 3 * (pp.depth - pd) + max(pp.num_scenes.bit_length(), 1)
+    sentinel = jnp.int64(1) << kb_child
+    codes = jnp.where(used[None, :], head_codes, sentinel)  # (O, M)
 
     # Curve 0 is analytically free: clusters are numbered by their rank
-    # along curve 0, so the child's order/inverse are the identity and the
-    # rank cumsum is `seg` itself — no gathers, scatters, or cumsums.
-    iota_m = jnp.arange(m, dtype=jnp.int32)
-    used0 = iota_m <= jnp.minimum(seg[-1], m - 1)
-    code0 = jnp.where(used0, head_codes[0], big)
-
-    def derive(ks, sort_o, head_code_o):
-        flag = jnp.concatenate(
-            [jnp.ones((1,), jnp.int32), (ks[1:] != ks[:-1]).astype(jnp.int32)]
-        )
-        rank = jnp.cumsum(flag) - 1  # cluster rank along this curve
-        rank = jnp.minimum(rank, m - 1).astype(jnp.int32)
-        n_clusters = rank[-1] + 1
-        slots = jnp.take(parent_inverse, sort_o)  # cluster slot per position
-        # ONE scatter carries both the per-slot rank and the used flag
-        # (packed as rank+1, 0 = unused): random 4-byte scatters are
-        # latency-bound on TPU, so passes — not bytes — are the cost
-        rank1_of_slot = jnp.zeros((m,), jnp.int32).at[slots].set(rank + 1)
-        used = rank1_of_slot > 0
-        unused_pos = n_clusters + jnp.cumsum(1 - used.astype(jnp.int32)) - 1
-        inverse = jnp.where(used, rank1_of_slot - 1, unused_pos)
-        inverse = jnp.minimum(inverse, m - 1).astype(jnp.int32)
-        order = jnp.zeros((m,), jnp.int32).at[inverse].set(iota_m)
-        code = jnp.where(used, head_code_o, big)
-        return code, order, inverse
-
-    code_t, order_t, inverse_t = jax.vmap(derive)(
-        cs[1:] >> (3 * pd), pp.orders[1:], head_codes[1:]
+    # along curve 0, so the child's order/inverse are the identity and
+    # codes[0] is already sorted. The tail curves pay one packed sort each
+    # at CHILD size — cheaper on TPU than the run-length rank derivation,
+    # whose cumsum/gather/scatter passes run at PARENT size (2M), and a
+    # true permutation even when clusters overflow into the trash slot.
+    order_t, cs_t = jax.vmap(lambda c: packed_sort(c, kb_child + 1))(
+        codes[1:]
     )
-    codes = jnp.concatenate([code0[None], code_t], axis=0)
+    inverse_t = jax.vmap(
+        lambda o: jnp.zeros((m,), jnp.int32).at[o].set(iota_m)
+    )(order_t)
     order = jnp.concatenate([iota_m[None], order_t], axis=0)
     inverse = jnp.concatenate([iota_m[None], inverse_t], axis=0)
-    # Child sorted codes (feeds the NEXT level's `cs`): curve 0 is already
-    # in sorted arrangement; the tail pays one (M,) gather per curve now to
-    # save a (2M,) gather per curve at the next pooling.
-    codes_sorted = jnp.concatenate(
-        [code0[None], jax.vmap(lambda c, o: c[o])(code_t, order_t)], axis=0
-    )
+    codes_sorted = jnp.concatenate([codes[:1], cs_t], axis=0)
     if shuffle_key is not None:
         perm = jax.random.permutation(shuffle_key, n_orders)
         codes, order, inverse, codes_sorted = (

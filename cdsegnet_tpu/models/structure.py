@@ -194,11 +194,15 @@ def serialize(
     inverse = jax.vmap(lambda o, a: jnp.zeros((n,), jnp.int32).at[o].set(a))(
         order, arange
     )
+    # batch ids sit in the code's high bits (`ops.serialization.encode`), so
+    # the sorted arrangements decode from `codes_sorted` without gathers;
+    # pads carry the `num_scenes` sentinel batch by the PointBatch contract.
+    batch_sorted = (codes_sorted >> (3 * point.depth)).astype(jnp.int32)
     return point.replace(
         codes=codes, orders=order, inverses=inverse,
         codes_sorted=codes_sorted,
-        batch_sorted=jax.vmap(lambda o: jnp.take(point.batch, o))(order),
-        mask_sorted=jax.vmap(lambda o: jnp.take(point.mask, o))(order),
+        batch_sorted=batch_sorted,
+        mask_sorted=batch_sorted != jnp.int32(point.num_scenes),
     )
 
 

@@ -20,17 +20,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _gather_matmul(feat, neighbor_idx, weight, accum_dtype):
+def _gather_matmul(feat, neighbor_idx, weight, accum_dtype, pad_to=0):
     """Neighbor gather + one MXU contraction.
 
     See `_gather_matmul_remat` for the memory rationale; this raw form is
     used when an outer `nn.remat` already rematerializes the enclosing
     block (nesting a second checkpoint inside it recomputes the gather
     twice per backward and blocks CSE — measured 20% train-throughput loss
-    at the 204.8k recipe bucket)."""
+    at the 204.8k recipe bucket).
+
+    ``pad_to``: zero-pad narrow channel rows to this width before the
+    gather. Data-dependent gathers on TPU are row-LATENCY bound, not
+    byte bound, for rows under ~128 B (DESIGN §13): a (N*27, 32)-bf16
+    gather reads 64 B rows at the same per-row cost as 128 B rows, so
+    padding C=32 features to 64 channels makes the same pass move twice
+    the useful... zero bytes — but lets XLA issue wider row fetches that
+    better amortize per-row overhead (measured 19.9 -> 16.3 ms for the
+    L0 C=32 xCPE, `tools/bench_xcpe_variants.py`). Exact: padded weight
+    rows are zero, f32 accumulation of zeros is exact."""
     n, c_in = feat.shape
     k = neighbor_idx.shape[1]
     c_out = weight.shape[2]
+    if 0 < c_in < pad_to:
+        feat = jnp.pad(feat, ((0, 0), (0, pad_to - c_in)))
+        weight = jnp.pad(weight, ((0, 0), (0, pad_to - c_in), (0, 0)))
+        c_in = pad_to
     # One gather of all K offsets + one MXU matmul. A loop over offsets would
     # serialize K small gathers (each HBM-latency-bound); the fused form lets
     # XLA pipeline the gather and runs a single (N, K*C_in) @ (K*C_in, C_out)
@@ -53,9 +67,9 @@ def _gather_matmul(feat, neighbor_idx, weight, accum_dtype):
 #: step out of v5e HBM. The checkpoint re-runs the (cheap, bandwidth-
 #: comparable-to-the-saved-read) gather in backward instead; the unused
 #: forward matmul recompute is dead-code-eliminated by XLA.
-_gather_matmul_remat = functools.partial(jax.checkpoint, static_argnums=(3,))(
-    _gather_matmul
-)
+_gather_matmul_remat = functools.partial(
+    jax.checkpoint, static_argnums=(3, 4)
+)(_gather_matmul)
 
 
 def subm_conv_apply(
@@ -65,6 +79,7 @@ def subm_conv_apply(
     bias: jnp.ndarray | None = None,
     accum_dtype: jnp.dtype = jnp.float32,
     remat_gather: bool = True,
+    pad_to: int = 0,
 ) -> jnp.ndarray:
     """Apply a submanifold conv.
 
@@ -76,6 +91,8 @@ def subm_conv_apply(
       remat_gather: recompute the (N, K*C_in) gather in backward instead of
         storing it (see `_gather_matmul_remat`). Pass False when an outer
         `nn.remat` already covers the call site.
+      pad_to: zero-pad C_in below this width before the gather (exact;
+        see `_gather_matmul`). 0 disables.
 
     Returns:
       (N, C_out) in ``feat.dtype``.
@@ -83,7 +100,7 @@ def subm_conv_apply(
     assert weight.shape[0] == neighbor_idx.shape[1], (
         weight.shape, neighbor_idx.shape)
     fn = _gather_matmul_remat if remat_gather else _gather_matmul
-    out = fn(feat, neighbor_idx, weight, accum_dtype)
+    out = fn(feat, neighbor_idx, weight, accum_dtype, pad_to)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out
@@ -182,5 +199,5 @@ def dual_subm_conv_apply(
         axis=1,
     )
     # the stem sits outside any block-level nn.remat — always checkpoint
-    out = _gather_matmul_remat(cat, neighbor_idx, w, accum_dtype)
+    out = _gather_matmul_remat(cat, neighbor_idx, w, accum_dtype, 0)
     return out[:, :coa], out[:, coa:]

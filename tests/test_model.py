@@ -461,3 +461,59 @@ def test_adapt_backbone_params_roundtrip():
             jax.tree_util.tree_leaves(dict(p_train)),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pad_narrow_gathers_exact():
+    """`pad_narrow_gathers` is a pure schedule change: zero-padding narrow
+    xCPE gather rows to 64 channels (wider rows amortize per-row gather
+    latency, DESIGN §14) is EXACT — padded weight rows are zero, and the
+    params tree is unchanged (padding happens at apply time), so one init
+    serves both models. Also pins the raw op at an odd width."""
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.ptv3 import PointTransformerV3
+    from cdsegnet_tpu.ops.subm_conv import subm_conv_apply
+
+    # raw op: padded == unpadded, f32 exact
+    rng = np.random.RandomState(1)
+    feat = jnp.asarray(rng.randn(64, 12).astype(np.float32))
+    nbr = jnp.asarray(rng.randint(0, 64, size=(64, 27)).astype(np.int32))
+    w = jnp.asarray(rng.randn(27, 12, 16).astype(np.float32) * 0.1)
+    out0 = subm_conv_apply(feat, nbr, w, pad_to=0)
+    out64 = subm_conv_apply(feat, nbr, w, pad_to=64)
+    np.testing.assert_array_equal(np.asarray(out64), np.asarray(out0))
+
+    # through the model: same params, padded apply is exact
+    arch = dict(
+        c_in_channels=6, n_in_channels=6,
+        c_stride=(4,), c_enc_depths=(1, 1), c_enc_channels=(8, 16),
+        c_enc_num_head=(1, 2), c_enc_patch_size=(64, 64),
+        c_dec_depths=(1,), c_dec_channels=(8,), c_dec_num_head=(1,),
+        c_dec_patch_size=(64,),
+        n_stride=(2, 2), n_enc_depths=(1, 1, 1),
+        n_enc_channels=(8, 16, 16), n_enc_num_head=(1, 2, 2),
+        n_enc_patch_size=(64,) * 3,
+        n_dec_depths=(1, 1), n_dec_channels=(8, 8), n_dec_num_head=(1, 1),
+        n_dec_patch_size=(64,) * 2,
+        mlp_ratio=2, drop_path=0.0, proj_drop=0.0, num_classes=5, t_dim=16,
+        condition=True, capacity_div=(1, 2, 4), scan_blocks=False,
+        shuffle_orders=False,
+    )
+    m0 = PointTransformerV3(**arch, pad_narrow_gathers=0)
+    mp = PointTransformerV3(**arch, pad_narrow_gathers=64)
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=6)
+    t_emb = jnp.asarray(rng.randn(256, 16).astype(np.float32))
+    v = jax.jit(lambda r, n, c, t: m0.init(r, n, c, t, train=False))(
+        RNGS, pt, pt, t_emb
+    )
+
+    def run(m):
+        cpt, npt = jax.jit(
+            lambda v, n, c, t: m.apply(v, n, c, t, train=False)
+        )(v, pt, pt, t_emb)
+        return np.asarray(npt.feat), np.asarray(cpt.feat)
+
+    n0, c0 = run(m0)
+    np_, cp = run(mp)
+    np.testing.assert_allclose(np_, n0, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(cp, c0, rtol=2e-5, atol=2e-5)

@@ -40,6 +40,10 @@ def load_state(cfg, checkpoint: str):
     # serving never fuses dual gathers (measured slower end-to-end than the
     # unfused schedule — DESIGN §14); training may (2.8% faster steps)
     serve_fused = bool(cfg.get("serve_fuse_dual_gathers", False))
+    # zero-pad narrow xCPE gather rows to 64 channels at serve time (exact;
+    # gathers are row-latency bound under ~128 B — measured 243.5 vs
+    # 247.3 ms/SSI-step end-to-end on v5e, DESIGN §14)
+    serve_pad = int(cfg.get("serve_pad_narrow_gathers", 64))
     is_ptv3 = isinstance(model_cfg.get("backbone"), dict) and (
         "scan_blocks" in model_cfg["backbone"]
         or model_cfg["backbone"].get("type", "").startswith("PT-v3")
@@ -48,6 +52,7 @@ def load_state(cfg, checkpoint: str):
         model_cfg["backbone"] = dict(
             model_cfg["backbone"], scan_blocks=serve_scan,
             fuse_dual_gathers=serve_fused,
+            pad_narrow_gathers=serve_pad,
             # serving never takes a backward pass; remat only slows it down
             remat_blocks=False,
         )
