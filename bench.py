@@ -504,8 +504,13 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None,
     # train throughput @104k (76.7k vs 74.6k pts/s, round-5 A/B); serving
     # stays unfused (DESIGN §14)
     t_fuse = os.environ.get("CDSEG_TRAIN_FUSE", "1") != "0"
+    # train keeps its own pad switch (default off): the serve-side win is
+    # measured, the train-side effect is not, and the wider remat'd gather
+    # buffer could tip the memory-tight recipe microbatch path into OOM
+    t_pad = int(os.environ.get("CDSEG_TRAIN_PAD", "0"))
     cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat,
-                           scan_blocks=scan, fuse_dual_gathers=t_fuse)
+                           scan_blocks=scan, fuse_dual_gathers=t_fuse,
+                           pad_narrow_gathers=t_pad)
     rp = policy or os.environ.get("CDSEG_REMAT_POLICY")  # "dots_saveable"
     if rp:
         cfg["backbone"]["remat_policy"] = rp

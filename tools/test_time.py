@@ -37,11 +37,27 @@ def main():
     cfg = Config.fromfile(args.config_file)
     cfg.merge_from_dict(parse_options(args.options))
 
-    from cdsegnet_tpu.engine.state import TrainState, batch_to_point
+    from cdsegnet_tpu.engine.state import batch_to_point
     from cdsegnet_tpu.models.builder import build_model
     from cdsegnet_tpu.models.segmentor import CNFSegmentor
 
-    model = build_model(dict(cfg.model))
+    # serve-layout overrides (same policy as tools/test.py::load_state, but
+    # defaulting to the timing protocol's UNROLLED serve layout — the scan
+    # while-loop costs ~9 ms/step and only buys fresh-compile time, which
+    # the persistent compile cache amortizes; DESIGN §14): never fused
+    # (slower end-to-end in inference), narrow gathers padded, no remat.
+    model_cfg = dict(cfg.model)
+    if isinstance(model_cfg.get("backbone"), dict) and (
+        model_cfg["backbone"].get("type", "").startswith("PT-v3")
+    ):
+        model_cfg["backbone"] = dict(
+            model_cfg["backbone"],
+            scan_blocks=bool(cfg.get("serve_scan_blocks", False)),
+            fuse_dual_gathers=bool(cfg.get("serve_fuse_dual_gathers", False)),
+            pad_narrow_gathers=int(cfg.get("serve_pad_narrow_gathers", 64)),
+            remat_blocks=False,
+        )
+    model = build_model(model_cfg)
     n = args.num_points
     feat_dim = cfg.get("feat_dim", 6)
     rng = np.random.RandomState(0)
@@ -62,18 +78,26 @@ def main():
                 shuffle=jax.random.PRNGKey(2), diffusion=jax.random.PRNGKey(3))
     variables = jax.jit(lambda r, p: model.init(r, p, train=False))(rngs, point)
     if args.checkpoint:
-        import optax
-
+        # any-layout restore + conversion to THIS serving layout (train
+        # checkpoints are fused+unrolled; see tools/test.py::load_state)
         from cdsegnet_tpu.engine.checkpoint import CheckpointManager
+        from cdsegnet_tpu.utils.params import adapt_backbone_params
 
         mgr = CheckpointManager(
             os.path.join(cfg.get("save_path", "exp/default"), "model")
         )
-        state = TrainState.create(variables, optax.identity(), jax.random.PRNGKey(0))
-        restored = mgr.restore(state, args.checkpoint)
-        if restored is not None:
-            variables = {"params": restored.params,
-                         "batch_stats": restored.batch_stats}
+        raw = mgr.restore_raw(args.checkpoint)
+        if raw is None:
+            raise FileNotFoundError(f"checkpoint {args.checkpoint!r} not found")
+        params = dict(raw["params"])
+        if "backbone" in params and hasattr(model, "backbone"):
+            params["backbone"] = adapt_backbone_params(
+                params["backbone"], model.backbone,
+                scan=model_cfg["backbone"].get("scan_blocks", False),
+                fused=model_cfg["backbone"].get("fuse_dual_gathers", False),
+            )
+        variables = {"params": params,
+                     "batch_stats": raw.get("batch_stats", {})}
 
     noise = jax.random.normal(jax.random.PRNGKey(7), (n, cfg.model.c_in_channels))
 
