@@ -82,11 +82,29 @@ def test_shipped_configs_load():
         "configs/scannet/cdsegnet_time.py",
         "configs/scannet/ptv3_cnf_time.py",
         "configs/nuscenes/cdsegnet_time.py",
+        "configs/nuscenes/ptv3_cnf_time.py",
     ):
         t = Config.fromfile(f)
         assert t.data.test.test_cfg.voxelize.grid_size == 0.0001, f
         assert t.data.test.test_cfg.aug_transform == [], f
         assert t.model.backbone.type == "PT-v3m1", f
+    # Baseline = CDSegNet minus diffusion (reference Baseline.py: dm=False);
+    # ScanNet200 trains the LINEAR schedule (reference scannet200/
+    # CDSegNet.py:29-31), unlike ScanNet-20's cosine
+    for f in ("configs/scannet/baseline.py", "configs/scannet200/baseline.py",
+              "configs/nuscenes/baseline.py"):
+        b = Config.fromfile(f)
+        assert b.model.dm is False, f
+        assert b.model.type == "DefaultSegmentorV2", f
+    s200 = Config.fromfile("configs/scannet200/cdsegnet.py")
+    assert s200.model.noise_schedule == "linear"
+    assert (s200.model.beta_start, s200.model.beta_end) == (0.001, 0.005)
+    s200cnf = Config.fromfile("configs/scannet200/ptv3_cnf.py")
+    assert tuple(s200cnf.model.backbone.n_enc_depths) == (2, 2, 2, 6, 2)
+    assert s200cnf.scheduler.pct_start == 0.50
+    nplain = Config.fromfile("configs/nuscenes/ptv3_plain.py")
+    assert nplain.model.type == "DefaultSegmentor"
+    assert nplain.model.loss_type == "EW"
 
 
 @pytest.mark.slow
