@@ -342,6 +342,11 @@ def main():
     # 243.5 vs 247.3 ms/step end-to-end on v5e, DESIGN §14). "0" disables.
     cfg["backbone"]["pad_narrow_gathers"] = int(
         os.environ.get("CDSEG_PAD_GATHERS", "64"))
+    # parity-blocked k125 stem (27 block-row gathers instead of 125 rows;
+    # 61 -> 17 ms isolated). Statically "blocked" here: the bench's hard
+    # drop gate below proves the no-overflow precondition the formulation
+    # needs; production uses "cond" (always exact, compiles both).
+    cfg["backbone"]["stem_mode"] = os.environ.get("CDSEG_STEM", "blocked")
 
     result = dict(
         metric="ssi_points_per_sec_per_chip",

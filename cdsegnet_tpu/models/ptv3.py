@@ -470,25 +470,62 @@ class Embedding(nn.Module):
 
 class DualEmbedding(nn.Module):
     """Fused n+c stems: both branches share the k5 table, so the feature
-    gather runs once over concatenated channels (block-diagonal weights)."""
+    gather runs once over concatenated channels (block-diagonal weights).
+
+    ``stem_mode`` selects the k125 formulation (params identical across
+    modes — a pure schedule choice, like ``pad_narrow_gathers``):
+      - "gather": one (N, 125) row gather over ``stem_neighbor``;
+      - "blocked": 27 block-row gathers via the stride-2 parity structure
+        (`ops.subm_conv.blocked_subm_conv_apply`, 3.6x faster isolated) —
+        exact ONLY when no pooled level overflowed (caller must check);
+      - "cond": ONE `lax.cond` on the summed `Level.dropped` picks blocked
+        when exact and falls back to the gather otherwise — always exact,
+        compiles both (the same discipline as `build_pyramid`'s tables).
+    """
 
     n_in: int
     c_in: int
     n_embed: int
     c_embed: int
     dtype: jnp.dtype = jnp.float32
+    stem_mode: str = "gather"
 
     @nn.compact
-    def __call__(self, n_feat, c_feat, mask, stem_neighbor, train: bool = False):
-        from cdsegnet_tpu.ops.subm_conv import dual_subm_conv_apply
+    def __call__(self, n_feat, c_feat, mask, stem_neighbor, train: bool = False,
+                 blocked_geom=None, no_overflow=None):
+        from cdsegnet_tpu.ops.subm_conv import (
+            blocked_stem_apply,
+            dual_subm_conv_apply,
+        )
 
         init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
         wn = self.param("n_weight", init, (125, self.n_in, self.n_embed), jnp.float32)
         wc = self.param("c_weight", init, (125, self.c_in, self.c_embed), jnp.float32)
-        fn, fc = dual_subm_conv_apply(
-            n_feat.astype(self.dtype), c_feat.astype(self.dtype),
-            stem_neighbor, wn, wc,
-        )
+        nf16 = n_feat.astype(self.dtype)
+        cf16 = c_feat.astype(self.dtype)
+        mode = self.stem_mode if blocked_geom is not None else "gather"
+
+        def gather_stem(nf, cf):
+            return dual_subm_conv_apply(nf, cf, stem_neighbor, wn, wc)
+
+        if mode == "gather":
+            fn, fc = gather_stem(nf16, cf16)
+        else:
+            grid_coord, pmask, parent_inverse, child_nbr = blocked_geom
+
+            def blocked(nf, cf):
+                return blocked_stem_apply(
+                    nf, cf, wn, wc, grid_coord=grid_coord, mask=pmask,
+                    parent_inverse=parent_inverse, child_nbr=child_nbr,
+                )
+
+            if mode == "blocked":
+                fn, fc = blocked(nf16, cf16)
+            else:
+                assert mode == "cond", mode
+                fn, fc = jax.lax.cond(
+                    no_overflow, blocked, gather_stem, nf16, cf16
+                )
         fn = MaskedBatchNorm(self.n_embed, dtype=self.dtype, name="n_norm")(
             fn, mask, use_running_average=not train
         )
@@ -950,6 +987,12 @@ class PointTransformerV3(nn.Module):
     # measured 19.9 -> 16.3 ms on the isolated L0 C=32 xCPE
     # (tools/bench_xcpe_variants.py). 0 disables.
     pad_narrow_gathers: int = 0
+    # k125 stem formulation for the dual stem: "cond" (exact always — one
+    # lax.cond on the summed overflow counts switches blocked vs gather),
+    # "blocked" (parity block-rows, 3.6x faster isolated; caller must
+    # host-check that no level dropped), or "gather" (the (N, 125) row
+    # gather). See DualEmbedding / ops.subm_conv.blocked_subm_conv_apply.
+    stem_mode: str = "cond"
 
     # skip connection behaviour; reference config "cat" means n-branch "add" +
     # c-branch "cat" (`:1527,1672`). The c-branch skip scale preserves the
@@ -1148,13 +1191,31 @@ class PointTransformerV3(nn.Module):
             t = None
 
         # ---- embeddings ----
+        # blocked-stem operands: level-1 cluster structure + overflow
+        # predicate (None when the pyramid has no pooled level)
+        if (
+            len(levels) > 1
+            and levels[1].parent_inverse is not None
+            and levels[1].dropped is not None
+        ):
+            blocked_geom = (
+                levels[0].point.grid_coord, levels[0].point.mask,
+                levels[1].parent_inverse, levels[1].point.neighbor_idx,
+            )
+            no_overflow = (
+                sum(lvl.dropped for lvl in levels[1:]) == 0
+            )
+        else:
+            blocked_geom, no_overflow = None, None
         if self.condition:
             assert c_point is not None
             fn, fc = DualEmbedding(
                 self.n_in_channels, self.c_in_channels,
                 self.n_enc_channels[0], self.c_enc_channels[0],
-                dtype=self.dtype, name="dual_embedding",
-            )(n_point.feat, c_point.feat, levels[0].point.mask, stem_nbr, train)
+                dtype=self.dtype, stem_mode=self.stem_mode,
+                name="dual_embedding",
+            )(n_point.feat, c_point.feat, levels[0].point.mask, stem_nbr,
+              train, blocked_geom=blocked_geom, no_overflow=no_overflow)
             npt = self._attach(n_point, levels[0], fn)
             cpt = self._attach(c_point, levels[0], fc, t_emb=t)
         else:

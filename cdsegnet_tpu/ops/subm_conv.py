@@ -157,6 +157,10 @@ def dual_subm_conv_sliced(
     (slice-matmul form; see `_dual_gather_matmul`). Used by the fused
     dual-branch xCPE path of `models.ptv3.DualBlock`."""
     cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
+    # materialize: XLA otherwise fuses the concat INTO the gather, turning
+    # every fetched row into TWO half-width fetches — measured 61 -> 49 ms
+    # on the isolated k125 stem (row latency, not bytes, is the cost)
+    cat = jax.lax.optimization_barrier(cat)
     fn = _dual_gather_matmul_remat if remat_gather else _dual_gather_matmul
     out_a, out_b = fn(cat, neighbor_idx, weight_a, weight_b, accum_dtype)
     if bias_a is not None:
@@ -185,6 +189,9 @@ def dual_subm_conv_apply(
     k = neighbor_idx.shape[1]
     cb, coa, cob = feat_b.shape[1], weight_a.shape[2], weight_b.shape[2]
     cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
+    # materialize before the gather (see dual_subm_conv_sliced): un-barriered,
+    # the concat fuses into the gather and doubles the per-row fetch count
+    cat = jax.lax.optimization_barrier(cat)
     wa = weight_a.astype(feat_a.dtype)
     wb = weight_b.astype(feat_a.dtype)
     w = jnp.concatenate(
@@ -200,4 +207,141 @@ def dual_subm_conv_apply(
     )
     # the stem sits outside any block-level nn.remat — always checkpoint
     out = _gather_matmul_remat(cat, neighbor_idx, w, accum_dtype, 0)
+    return out[:, :coa], out[:, coa:]
+
+
+def _blocked_stem(cat, pb, row, nbr_rows, w_all, m, accum_dtype):
+    """Gather + matmul core of `blocked_stem_apply` (checkpointable)."""
+    n, c = cat.shape
+    co8 = w_all.shape[1]
+    members = (
+        jnp.zeros((m + 1, 8, c), cat.dtype)
+        .at[row, pb].set(jnp.where(row[:, None] < m, cat, 0))
+        .at[m].set(0)  # re-arm the empty sentinel row
+    )
+    blocks = jnp.take(
+        members.reshape(m + 1, 8 * c), nbr_rows.reshape(-1), axis=0
+    ).reshape(n, 27 * 8 * c)
+    out_all = jnp.dot(blocks, w_all, preferred_element_type=accum_dtype)
+    onehot = jax.nn.one_hot(pb, 8, dtype=out_all.dtype)
+    return jnp.einsum(
+        "npc,np->nc", out_all.reshape(n, 8, co8 // 8), onehot
+    ).astype(cat.dtype)
+
+
+_blocked_stem_remat = functools.partial(jax.checkpoint, static_argnums=(5, 6))(
+    _blocked_stem
+)
+
+
+def blocked_subm_conv_apply(
+    feat: jnp.ndarray,
+    weight: jnp.ndarray,
+    *,
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    parent_inverse: jnp.ndarray,
+    child_nbr: jnp.ndarray,
+    accum_dtype: jnp.dtype = jnp.float32,
+    remat_gather: bool = True,
+) -> jnp.ndarray:
+    """k5 (125-tap) submanifold conv via the stride-2 parity structure:
+    27 block-row gathers per point instead of 125 row gathers.
+
+    The (N, 125) stem gather fetches C-channel rows — 13M row fetches at
+    the 104k bucket, pure row latency (DESIGN §13). This formulation
+    scatters features into an (M1+1, 8, C) cluster-member table (each
+    stride-2 cluster holds at most one voxel per parity), gathers each
+    point's 27 ADJACENT MEMBER ROWS once via the level-1 k3 table (8C-wide
+    rows, 4.6x fewer fetches), and resolves all 125 taps with ONE matmul
+    against a statically parity-scattered (216C, 8*C_out) weight — the
+    (cluster, parity) slot of each kernel offset depends only on the
+    point's own parity bits (`structure._parity_select_tables`), so the
+    select collapses into the weight layout plus a final 8-way one-hot
+    slice. Measured 61 -> 17 ms on the isolated dual k5 stem
+    (`tools/bench_stem_variants.py`).
+
+    EXACT (to f32-accumulation reordering) under the same preconditions as
+    the parity neighbor tables: no pooled-level overflow and unique voxels
+    per scene (reference spconv stem is exact,
+    `point_transformer_v3m1_base.py:646-663`). Callers must route
+    overflowed batches to the sorted `stem_nbr` gather fallback, exactly
+    like `build_pyramid`'s table cond (`models.ptv3` stems do this with
+    one `lax.cond` on the summed `Level.dropped`).
+
+    Args:
+      feat: (N, C) features.
+      weight: (125, C, C_out), `kernel_offsets(5)` enumeration order.
+      grid_coord/mask: level-0 voxels.
+      parent_inverse: (N,) level-0 point -> level-1 cluster slot.
+      child_nbr: (M1, 27) the level-1 k3 table (missing = M1).
+    Returns: (N, C_out) in ``feat.dtype``.
+    """
+    import numpy as np
+
+    from cdsegnet_tpu.models.structure import (
+        _PARITY_SEL,
+        _parity_bits,
+        _parity_select_tables,
+    )
+
+    if 5 not in _PARITY_SEL:
+        _PARITY_SEL[5] = _parity_select_tables(5)
+    sel = _PARITY_SEL[5]  # (8, 125) numpy
+    c, co = feat.shape[1], weight.shape[2]
+    m = child_nbr.shape[0]
+
+    pb = _parity_bits(grid_coord)
+    # overflow-cluster parents (slot m-1) and padding go to the trash row
+    row = jnp.where(mask & (parent_inverse < m - 1), parent_inverse, m)
+    nbr_rows = jnp.take(child_nbr, jnp.minimum(row, m - 1), axis=0)
+    nbr_rows = jnp.where((row < m)[:, None], nbr_rows, m)  # (N, 27)
+
+    # parity-scatter the weight to the (216, C) block layout: slot
+    # sel[g, k] of parity class g holds kernel tap k
+    g_idx = np.repeat(np.arange(8), 125)
+    k_idx = np.tile(np.arange(125), 8)
+    w_all = (
+        jnp.zeros((216, c, 8, co), feat.dtype)
+        .at[sel.reshape(-1), :, g_idx, :].set(weight.astype(feat.dtype)[k_idx])
+        .reshape(216 * c, 8 * co)
+    )
+
+    fn = _blocked_stem_remat if remat_gather else _blocked_stem
+    return fn(feat, pb, row, nbr_rows, w_all, m, accum_dtype)
+
+
+def blocked_stem_apply(
+    feat_a: jnp.ndarray,
+    feat_b: jnp.ndarray,
+    weight_a: jnp.ndarray,
+    weight_b: jnp.ndarray,
+    *,
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    parent_inverse: jnp.ndarray,
+    child_nbr: jnp.ndarray,
+    accum_dtype: jnp.dtype = jnp.float32,
+    remat_gather: bool = True,
+):
+    """Dual-branch k5 stem via `blocked_subm_conv_apply`: concatenated
+    branch channels, block-diagonal weight, one shared block gather."""
+    ca, cb = feat_a.shape[1], feat_b.shape[1]
+    coa, cob = weight_a.shape[2], weight_b.shape[2]
+    cat = jnp.concatenate([feat_a, feat_b.astype(feat_a.dtype)], axis=-1)
+    cat = jax.lax.optimization_barrier(cat)
+    wa = weight_a.astype(cat.dtype)
+    wb = weight_b.astype(cat.dtype)
+    w = jnp.concatenate(
+        [
+            jnp.concatenate([wa, jnp.zeros((125, ca, cob), cat.dtype)], 2),
+            jnp.concatenate([jnp.zeros((125, cb, coa), cat.dtype), wb], 2),
+        ],
+        axis=1,
+    )  # (125, Ca+Cb, Coa+Cob)
+    out = blocked_subm_conv_apply(
+        cat, w, grid_coord=grid_coord, mask=mask,
+        parent_inverse=parent_inverse, child_nbr=child_nbr,
+        accum_dtype=accum_dtype, remat_gather=remat_gather,
+    )
     return out[:, :coa], out[:, coa:]

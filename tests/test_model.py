@@ -517,3 +517,90 @@ def test_pad_narrow_gathers_exact():
     np_, cp = run(mp)
     np.testing.assert_allclose(np_, n0, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(cp, c0, rtol=2e-5, atol=2e-5)
+
+
+def test_blocked_stem_exact_and_fallback():
+    """The parity-blocked k125 stem (`stem_mode="blocked"`) equals the
+    (N, 125) gather stem exactly (same params — a pure schedule choice),
+    including at scene borders (tiny depth puts many points within 2 voxels
+    of the grid edge, where out-of-range taps must resolve to missing).
+    Under forced pooling overflow, `stem_mode="cond"` must route to the
+    gather fallback and still match."""
+    import jax.numpy as jnp
+
+    from cdsegnet_tpu.models.ptv3 import PointTransformerV3
+
+    arch = dict(
+        c_in_channels=6, n_in_channels=6,
+        c_stride=(4,), c_enc_depths=(1, 1), c_enc_channels=(8, 16),
+        c_enc_num_head=(1, 2), c_enc_patch_size=(64, 64),
+        c_dec_depths=(1,), c_dec_channels=(8,), c_dec_num_head=(1,),
+        c_dec_patch_size=(64,),
+        n_stride=(2, 2), n_enc_depths=(1, 1, 1),
+        n_enc_channels=(8, 16, 16), n_enc_num_head=(1, 2, 2),
+        n_enc_patch_size=(64,) * 3,
+        n_dec_depths=(1, 1), n_dec_channels=(8, 8), n_dec_num_head=(1, 1),
+        n_dec_patch_size=(64,) * 2,
+        mlp_ratio=2, drop_path=0.0, proj_drop=0.0, num_classes=5, t_dim=16,
+        condition=True, capacity_div=(1, 1, 1), scan_blocks=False,
+        shuffle_orders=False,
+    )
+    rng = np.random.RandomState(3)
+    # depth=4 -> 16^3 grid: scene borders well represented
+    pt = synthetic_batch(rng, counts=(150, 90), num_points=256, depth=4)
+    t_emb = jnp.asarray(rng.randn(256, 16).astype(np.float32))
+
+    mg = PointTransformerV3(**arch, stem_mode="gather")
+    mb = PointTransformerV3(**arch, stem_mode="blocked")
+    mc = PointTransformerV3(**arch, stem_mode="cond")
+    v = jax.jit(lambda r, n, c, t: mg.init(r, n, c, t, train=False))(
+        RNGS, pt, pt, t_emb
+    )
+
+    # precondition: NO pooled level drops (else blocked is undefined)
+    _, inter0 = mg.apply(
+        v, pt, pt, t_emb, train=False, mutable=["intermediates"],
+    )
+    assert np.asarray(
+        inter0["intermediates"]["pyramid_dropped"][0]
+    ).sum() == 0
+
+    def run(m, point):
+        cpt, npt = jax.jit(
+            lambda v, n, c, t: m.apply(v, n, c, t, train=False)
+        )(v, point, point, t_emb)
+        return np.asarray(npt.feat), np.asarray(cpt.feat)
+
+    n_g, c_g = run(mg, pt)
+    n_b, c_b = run(mb, pt)
+    n_c, c_c = run(mc, pt)
+    np.testing.assert_allclose(n_b, n_g, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(c_b, c_g, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(n_c, n_g, rtol=2e-2, atol=2e-2)
+
+    # forced overflow: capacities too small for the scene -> dropped > 0 at
+    # some pooled level -> the cond stem must take the gather branch (and
+    # the pyramid its sorted-exact tables): cond == gather bit-for-bit
+    arch_of = dict(arch, capacity_div=(1, 8, 16))
+    mgo = PointTransformerV3(**arch_of, stem_mode="gather")
+    mco = PointTransformerV3(**arch_of, stem_mode="cond")
+    vo = jax.jit(lambda r, n, c, t: mgo.init(r, n, c, t, train=False))(
+        RNGS, pt, pt, t_emb
+    )
+    _, inter = mgo.apply(
+        vo, pt, pt, t_emb, train=False, mutable=["intermediates"],
+    )
+    dropped = np.asarray(
+        inter["intermediates"]["pyramid_dropped"][0]
+    )
+    assert dropped.sum() > 0, "test setup failed to force overflow"
+
+    def run2(m):
+        cpt, npt = jax.jit(
+            lambda v, n, c, t: m.apply(v, n, c, t, train=False)
+        )(vo, pt, pt, t_emb)
+        return np.asarray(npt.feat), np.asarray(cpt.feat)
+
+    n_go, _ = run2(mgo)
+    n_co, _ = run2(mco)
+    np.testing.assert_array_equal(n_co, n_go)

@@ -44,6 +44,9 @@ def load_state(cfg, checkpoint: str):
     # gathers are row-latency bound under ~128 B — measured 243.5 vs
     # 247.3 ms/SSI-step end-to-end on v5e, DESIGN §14)
     serve_pad = int(cfg.get("serve_pad_narrow_gathers", 64))
+    # k125 stem formulation: "cond" stays exact under pooling overflow by
+    # construction (one lax.cond picks blocked vs gather per batch)
+    serve_stem = str(cfg.get("serve_stem_mode", "cond"))
     is_ptv3 = isinstance(model_cfg.get("backbone"), dict) and (
         "scan_blocks" in model_cfg["backbone"]
         or model_cfg["backbone"].get("type", "").startswith("PT-v3")
@@ -53,6 +56,7 @@ def load_state(cfg, checkpoint: str):
             model_cfg["backbone"], scan_blocks=serve_scan,
             fuse_dual_gathers=serve_fused,
             pad_narrow_gathers=serve_pad,
+            stem_mode=serve_stem,
             # serving never takes a backward pass; remat only slows it down
             remat_blocks=False,
         )
