@@ -513,9 +513,13 @@ def bench_train(cfg, num_points, remat=None, iters=5, scan=None, policy=None,
     # measured, the train-side effect is not, and the wider remat'd gather
     # buffer could tip the memory-tight recipe microbatch path into OOM
     t_pad = int(os.environ.get("CDSEG_TRAIN_PAD", "0"))
+    # train measures the production stem: "cond" picks the blocked path at
+    # runtime when nothing dropped (the SSI gate's generator) and stays
+    # exact by construction if a batch ever overflows
+    t_stem = os.environ.get("CDSEG_TRAIN_STEM", "cond")
     cfg["backbone"] = dict(cfg["backbone"], remat_blocks=remat,
                            scan_blocks=scan, fuse_dual_gathers=t_fuse,
-                           pad_narrow_gathers=t_pad)
+                           pad_narrow_gathers=t_pad, stem_mode=t_stem)
     rp = policy or os.environ.get("CDSEG_REMAT_POLICY")  # "dots_saveable"
     if rp:
         cfg["backbone"]["remat_policy"] = rp

@@ -197,7 +197,12 @@ class SubMConv(nn.Module):
     pad_gather_to: int = 0
 
     @nn.compact
-    def __call__(self, feat, neighbor_idx):
+    def __call__(self, feat, neighbor_idx, blocked_geom=None,
+                 no_overflow=None, stem_mode="gather"):
+        """``blocked_geom``/``no_overflow``/``stem_mode``: optional k125
+        parity-blocked formulation (see `ops.subm_conv.
+        blocked_subm_conv_apply`); params are identical across modes, so
+        checkpoints load into any."""
         fan_in = self.in_channels * self.kernel_volume
         weight = self.param(
             "weight",
@@ -211,10 +216,35 @@ class SubMConv(nn.Module):
             else None
         )
         del fan_in
-        return subm_conv_apply(
-            feat.astype(self.dtype), neighbor_idx, weight, bias,
-            remat_gather=self.remat_gather, pad_to=self.pad_gather_to,
-        )
+        f16 = feat.astype(self.dtype)
+        mode = stem_mode if (
+            blocked_geom is not None and self.kernel_volume == 125
+        ) else "gather"
+
+        def gather_conv(f):
+            return subm_conv_apply(
+                f, neighbor_idx, weight, bias,
+                remat_gather=self.remat_gather, pad_to=self.pad_gather_to,
+            )
+
+        if mode == "gather":
+            return gather_conv(f16)
+        from cdsegnet_tpu.ops.subm_conv import blocked_subm_conv_apply
+
+        grid_coord, pmask, parent_inverse, child_nbr = blocked_geom
+
+        def blocked(f):
+            out = blocked_subm_conv_apply(
+                f, weight.astype(f.dtype), grid_coord=grid_coord, mask=pmask,
+                parent_inverse=parent_inverse, child_nbr=child_nbr,
+                remat_gather=self.remat_gather,
+            )
+            return out + bias.astype(out.dtype) if bias is not None else out
+
+        if mode == "blocked":
+            return blocked(f16)
+        assert mode == "cond", mode
+        return jax.lax.cond(no_overflow, blocked, gather_conv, f16)
 
 
 def swish(x):

@@ -449,18 +449,25 @@ class _ScannedBlock(nn.Module):
 
 
 class Embedding(nn.Module):
-    """k5 submanifold stem + BN + GELU (reference `:633-663`)."""
+    """k5 submanifold stem + BN + GELU (reference `:633-663`).
+
+    ``stem_mode`` routes the k125 conv through the parity-blocked
+    formulation (see DualEmbedding); the param path (stem_conv/weight)
+    is unchanged across modes."""
 
     in_channels: int
     embed_channels: int
     dtype: jnp.dtype = jnp.float32
+    stem_mode: str = "gather"
 
     @nn.compact
-    def __call__(self, point: PointBatch, stem_neighbor, train: bool = False):
+    def __call__(self, point: PointBatch, stem_neighbor, train: bool = False,
+                 blocked_geom=None, no_overflow=None):
         f = SubMConv(
             self.in_channels, self.embed_channels, 125, use_bias=False,
             dtype=self.dtype, name="stem_conv",
-        )(point.feat, stem_neighbor)
+        )(point.feat, stem_neighbor, blocked_geom=blocked_geom,
+          no_overflow=no_overflow, stem_mode=self.stem_mode)
         f = MaskedBatchNorm(self.embed_channels, dtype=self.dtype, name="norm")(
             f, point.mask, use_running_average=not train
         )
@@ -1222,8 +1229,9 @@ class PointTransformerV3(nn.Module):
             npt = self._attach(n_point, levels[0], n_point.feat)
             npt = Embedding(
                 self.n_in_channels, self.n_enc_channels[0], dtype=self.dtype,
-                name="n_embedding",
-            )(npt, stem_nbr, train)
+                stem_mode=self.stem_mode, name="n_embedding",
+            )(npt, stem_nbr, train, blocked_geom=blocked_geom,
+              no_overflow=no_overflow)
 
         if self.condition and self.fuse_dual_gathers and not self.enable_rpe:
             return self._forward_fused(

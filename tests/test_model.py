@@ -604,3 +604,15 @@ def test_blocked_stem_exact_and_fallback():
     n_go, _ = run2(mgo)
     n_co, _ = run2(mco)
     np.testing.assert_array_equal(n_co, n_go)
+
+    # single-branch Embedding (plain PTv3) rides the same SubMConv wiring
+    arch_p = dict(arch, condition=False, t_dim=-1)
+    pg = PointTransformerV3(**arch_p, stem_mode="gather")
+    pb = PointTransformerV3(**arch_p, stem_mode="blocked")
+    vp = jax.jit(lambda r, n: pg.init(r, n, train=False))(RNGS, pt)
+
+    def run3(m):
+        npt = jax.jit(lambda v, n: m.apply(v, n, train=False))(vp, pt)
+        return np.asarray(npt.feat)
+
+    np.testing.assert_allclose(run3(pb), run3(pg), rtol=2e-2, atol=2e-2)
