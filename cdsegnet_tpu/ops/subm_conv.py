@@ -211,8 +211,12 @@ def dual_subm_conv_apply(
 
 
 def _blocked_stem(cat, pb, row, nbr_rows, w_all, m, accum_dtype):
-    """Gather + matmul core of `blocked_stem_apply` (checkpointable)."""
+    """Gather + matmul core of the blocked conv forms (checkpointable).
+
+    ``nbr_rows`` is (N, R) with R=27 for the k125 stem (all adjacent
+    clusters) or R=8 for k3 xCPE (the parity-relevant octant)."""
     n, c = cat.shape
+    r = nbr_rows.shape[1]
     co8 = w_all.shape[1]
     members = (
         jnp.zeros((m + 1, 8, c), cat.dtype)
@@ -221,7 +225,7 @@ def _blocked_stem(cat, pb, row, nbr_rows, w_all, m, accum_dtype):
     )
     blocks = jnp.take(
         members.reshape(m + 1, 8 * c), nbr_rows.reshape(-1), axis=0
-    ).reshape(n, 27 * 8 * c)
+    ).reshape(n, r * 8 * c)
     out_all = jnp.dot(blocks, w_all, preferred_element_type=accum_dtype)
     onehot = jax.nn.one_hot(pb, 8, dtype=out_all.dtype)
     return jnp.einsum(
@@ -345,3 +349,106 @@ def blocked_stem_apply(
         accum_dtype=accum_dtype, remat_gather=remat_gather,
     )
     return out[:, :coa], out[:, coa:]
+
+
+_K3_BLOCK_TABLES = None
+
+
+def _blocked_k3_tables():
+    """Static tables for the k3 blocked form.
+
+    ``cols8[g]``: which 8 of the child k3 row's 27 columns are the
+    parity-relevant octant for parity class g (per axis, offsets
+    {pb-1, pb} — a point's 27 taps live entirely inside those clusters).
+    ``sel[g, k]``: flat (local_cluster * 8 + parity) slot of tap k for
+    parity class g — injective per g since d = 2e + r - pb."""
+    import numpy as np
+
+    offs = [
+        (x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)
+    ]
+    cols8 = np.zeros((8, 8), np.int32)
+    sel = np.zeros((8, 27), np.int32)
+    for g in range(8):
+        pb = ((g >> 2) & 1, (g >> 1) & 1, g & 1)
+        for loc in range(8):
+            b = ((loc >> 2) & 1, (loc >> 1) & 1, loc & 1)
+            e = [pb[a] - 1 + b[a] for a in range(3)]
+            cols8[g, loc] = ((e[0] + 1) * 3 + (e[1] + 1)) * 3 + (e[2] + 1)
+        for k, d in enumerate(offs):
+            e = [(pb[a] + d[a]) // 2 for a in range(3)]
+            r = [(pb[a] + d[a]) % 2 for a in range(3)]
+            b = [e[a] - (pb[a] - 1) for a in range(3)]
+            assert all(0 <= x <= 1 for x in b)
+            loc = (b[0] << 2) | (b[1] << 1) | b[2]
+            rr = (r[0] << 2) | (r[1] << 1) | r[2]
+            sel[g, k] = loc * 8 + rr
+        assert len(set(sel[g])) == 27  # injective per parity class
+    return cols8, sel
+
+
+def blocked_k3_conv_apply(
+    feat: jnp.ndarray,
+    weight: jnp.ndarray,
+    *,
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    parent_inverse: jnp.ndarray,
+    child_nbr: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    accum_dtype: jnp.dtype = jnp.float32,
+    remat_gather: bool = True,
+) -> jnp.ndarray:
+    """k3 (27-tap) submanifold conv via the stride-2 parity structure:
+    8 block-row gathers per point instead of 27 row gathers.
+
+    The k3 analogue of `blocked_subm_conv_apply` (k125 stem): a point's
+    27 taps live entirely in the 8 parity-relevant adjacent clusters
+    (per axis {pb-1, pb}), so the gather fetches 8 rows of 8C channels
+    (3.4x fewer, 8x wider rows) and ONE statically parity-scattered
+    (64C, 8*C_out) matmul + one-hot slice resolves every tap. Same
+    exactness preconditions as the parity tables (no pooled-level
+    overflow, unique voxels) — callers cond on `Level.dropped` exactly
+    like the stem. Reference: spconv xCPE
+    (`point_transformer_v3m1_base.py:355-365`).
+
+    Args:
+      feat: (N, C); weight: (27, C, C_out) in `kernel_offsets(3)` order.
+      grid_coord/mask: THIS level's voxels (level L).
+      parent_inverse: (N,) level-L point -> level-(L+1) cluster slot.
+      child_nbr: (M, 27) the level-(L+1) k3 table (missing = M).
+    Returns: (N, C_out) in ``feat.dtype``.
+    """
+    import numpy as np
+
+    from cdsegnet_tpu.models.structure import _parity_bits
+
+    global _K3_BLOCK_TABLES
+    if _K3_BLOCK_TABLES is None:
+        _K3_BLOCK_TABLES = _blocked_k3_tables()
+    cols8, sel = _K3_BLOCK_TABLES
+    c, co = feat.shape[1], weight.shape[2]
+    m = child_nbr.shape[0]
+
+    pb = _parity_bits(grid_coord)
+    row = jnp.where(mask & (parent_inverse < m - 1), parent_inverse, m)
+    nbr27 = jnp.take(child_nbr, jnp.minimum(row, m - 1), axis=0)
+    nbr27 = jnp.where((row < m)[:, None], nbr27, m)  # (N, 27)
+    # 8-way parity select of the relevant octant columns
+    nbr8 = jnp.full((feat.shape[0], 8), m, jnp.int32)
+    for g in range(8):
+        nbr8 = jnp.where((pb == g)[:, None], nbr27[:, cols8[g]], nbr8)
+
+    g_idx = np.repeat(np.arange(8), 27)
+    k_idx = np.tile(np.arange(27), 8)
+    w_all = (
+        jnp.zeros((64, c, 8, co), feat.dtype)
+        .at[sel.reshape(-1), :, g_idx, :].set(weight.astype(feat.dtype)[k_idx])
+        .reshape(64 * c, 8 * co)
+    )
+
+    fn = _blocked_stem_remat if remat_gather else _blocked_stem
+    out = fn(feat, pb, row, nbr8, w_all, m, accum_dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
