@@ -347,6 +347,12 @@ def main():
     # drop gate below proves the no-overflow precondition the formulation
     # needs; production uses "cond" (always exact, compiles both).
     cfg["backbone"]["stem_mode"] = os.environ.get("CDSEG_STEM", "blocked")
+    # parity-blocked k27 xCPE: measured SLOWER end-to-end (268.8 vs
+    # 219.1 ms) despite a 4x isolated win — in-graph the direct k27
+    # gathers overlap with attention/MLP, while the blocked form adds
+    # serial member-scatter + (N, 64C) block materializations. Default
+    # stays "gather"; the op remains for k125-scale kernels (the stem).
+    cfg["backbone"]["xcpe_mode"] = os.environ.get("CDSEG_XCPE", "gather")
 
     result = dict(
         metric="ssi_points_per_sec_per_chip",

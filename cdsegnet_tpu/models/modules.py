@@ -218,7 +218,7 @@ class SubMConv(nn.Module):
         del fan_in
         f16 = feat.astype(self.dtype)
         mode = stem_mode if (
-            blocked_geom is not None and self.kernel_volume == 125
+            blocked_geom is not None and self.kernel_volume in (27, 125)
         ) else "gather"
 
         def gather_conv(f):
@@ -229,11 +229,21 @@ class SubMConv(nn.Module):
 
         if mode == "gather":
             return gather_conv(f16)
-        from cdsegnet_tpu.ops.subm_conv import blocked_subm_conv_apply
+        from cdsegnet_tpu.ops.subm_conv import (
+            blocked_k3_conv_apply,
+            blocked_subm_conv_apply,
+        )
 
         grid_coord, pmask, parent_inverse, child_nbr = blocked_geom
 
         def blocked(f):
+            if self.kernel_volume == 27:
+                return blocked_k3_conv_apply(
+                    f, weight.astype(f.dtype), grid_coord=grid_coord,
+                    mask=pmask, parent_inverse=parent_inverse,
+                    child_nbr=child_nbr, bias=bias,
+                    remat_gather=self.remat_gather,
+                )
             out = blocked_subm_conv_apply(
                 f, weight.astype(f.dtype), grid_coord=grid_coord, mask=pmask,
                 parent_inverse=parent_inverse, child_nbr=child_nbr,
